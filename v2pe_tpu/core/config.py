@@ -1,0 +1,231 @@
+"""Typed configuration for the v2pe_tpu framework.
+
+Replaces the reference's three-layer config soup (HF ``PretrainedConfig``
+subclasses + argparse dataclasses + env vars; see
+``/root/reference/internvl/model/internvl_chat/configuration_internvl_chat.py``
+and ``configuration_internlm2.py``) with frozen dataclasses serialized to JSON.
+
+Instance values for the two supported model families:
+  * InternVL2-2B  = InternViT-300M-448px vision tower + InternLM2-1.8B decoder
+  * InternVL2.5-8B = InternViT-300M-448px + InternLM2.5-7B decoder
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+def _asdict(obj) -> dict:
+    return dataclasses.asdict(obj)
+
+
+@dataclass(frozen=True)
+class VisionConfig:
+    """InternViT encoder config.
+
+    Reference: ``internvl/model/internvl_chat/configuration_intern_vit.py:63-83``
+    (class defaults there describe the 6B tower; the 300M instance used by
+    InternVL2-2B is the default here).
+    """
+
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    patch_size: int = 14
+    image_size: int = 448
+    num_channels: int = 3
+    qkv_bias: bool = True
+    qk_normalization: bool = False
+    norm_type: str = "layer_norm"  # 'layer_norm' | 'rms_norm'
+    layer_norm_eps: float = 1e-6
+    hidden_act: str = "gelu"
+    initializer_factor: float = 0.1  # LayerScale init value
+    drop_path_rate: float = 0.0
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    use_flash_attn: bool = True
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def num_patches_per_side(self) -> int:
+        return self.image_size // self.patch_size
+
+
+@dataclass(frozen=True)
+class LLMConfig:
+    """InternLM2 decoder config.
+
+    Reference: ``internvl/model/internlm2/configuration_internlm2.py:77-152``.
+    Defaults are the InternLM2-1.8B (chat) instance used by InternVL2-2B.
+    """
+
+    vocab_size: int = 92553
+    hidden_size: int = 2048
+    intermediate_size: int = 8192
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 8
+    hidden_act: str = "silu"
+    max_position_embeddings: int = 32768
+    rms_norm_eps: float = 1e-5
+    bias: bool = False
+    rope_theta: float = 1_000_000.0
+    # rope_scaling['type'] analogue: 'v2pe' | 'default' | 'linear' | 'dynamic'
+    rope_mode: str = "v2pe"
+    rope_scaling_factor: float = 1.0
+    tie_word_embeddings: bool = False
+    pad_token_id: int = 2
+    bos_token_id: int = 1
+    eos_token_id: int = 2
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def num_key_value_groups(self) -> int:
+        return self.num_attention_heads // self.num_key_value_heads
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout. Axes:
+
+    * ``data``  — data parallel (across DCN for multi-slice; outermost)
+    * ``fsdp``  — parameter/optimizer sharding (ZeRO-3 analogue; ICI)
+    * ``seq``   — sequence/context parallel (ring attention; ICI)
+    * ``tensor``— tensor parallel over heads/ffn (ICI)
+
+    The reference's DeepSpeed ZeRO + `chunk_num` ring groups
+    (``internvl_chat_finetune.py:1104-1111``) map onto (fsdp, seq).
+    """
+
+    data: int = 1
+    fsdp: int = 1
+    seq: int = 1
+    tensor: int = 1
+
+    @property
+    def axis_names(self) -> tuple:
+        return ("data", "fsdp", "seq", "tensor")
+
+    @property
+    def shape(self) -> tuple:
+        return (self.data, self.fsdp, self.seq, self.tensor)
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.fsdp * self.seq * self.tensor
+
+
+@dataclass(frozen=True)
+class VLMConfig:
+    """Composite InternVLChat config.
+
+    Reference: ``internvl/model/internvl_chat/configuration_internvl_chat.py:23-99``.
+    """
+
+    vision: VisionConfig = field(default_factory=VisionConfig)
+    llm: LLMConfig = field(default_factory=LLMConfig)
+    downsample_ratio: float = 0.5
+    template: str = "internlm2-chat"
+    select_layer: int = -1
+    ps_version: str = "v2"  # pixel_shuffle version; 'v1' is the buggy transposed one
+    dynamic_image_size: bool = True
+    use_thumbnail: bool = True
+    min_dynamic_patch: int = 1
+    max_dynamic_patch: int = 12
+    min_num_frame: int = 8
+    max_num_frame: int = 32
+    # V2PE knobs (persisted with checkpoints so eval reads them back,
+    # mirroring configuration_internvl_chat.py:101-131)
+    rope_pos_id_version: str = "v2pe_fix"  # 'default' | 'v2pe_fix' | 'v2pe_rnd'
+    rope_pos_id_stride: Optional[int] = 64
+    img_emb_down_sample_ratio: Optional[int] = None
+    force_image_size: Optional[int] = None
+    compress_seq: bool = False
+    attn_type: Optional[str] = None  # None | 'ring' | 'ulysses'
+    chunk_num: int = 1
+
+    @property
+    def num_image_token(self) -> int:
+        image_size = self.force_image_size or self.vision.image_size
+        n = int((image_size // self.vision.patch_size) ** 2 * (self.downsample_ratio ** 2))
+        if self.img_emb_down_sample_ratio is not None:
+            n = int(n / self.img_emb_down_sample_ratio)
+        return n
+
+    # ------------------------------------------------------------------ json
+    def to_json(self) -> str:
+        return json.dumps(_asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "VLMConfig":
+        d = json.loads(s)
+        return VLMConfig.from_dict(d)
+
+    @staticmethod
+    def from_dict(d: dict) -> "VLMConfig":
+        d = dict(d)
+        vision = VisionConfig(**d.pop("vision", {}))
+        llm = LLMConfig(**d.pop("llm", {}))
+        return VLMConfig(vision=vision, llm=llm, **d)
+
+
+# --------------------------------------------------------------------------
+# Presets
+# --------------------------------------------------------------------------
+
+def internvl2_2b() -> VLMConfig:
+    """InternVL2-2B (the V2PE flagship): InternViT-300M + InternLM2-1.8B."""
+    return VLMConfig()
+
+
+def internvl2_5_8b() -> VLMConfig:
+    """InternVL2.5-8B: InternViT-300M + InternLM2.5-7B (GQA 32/8).
+
+    Mirrors the internvl2_5 fork (``/root/reference/internvl2_5``; §2.9 of
+    SURVEY.md) parameterized by size rather than forked.
+    """
+    return VLMConfig(
+        llm=LLMConfig(
+            vocab_size=92553,
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_hidden_layers=32,
+            num_attention_heads=32,
+            num_key_value_heads=8,
+            rope_theta=1_000_000.0,
+        ),
+        template="internvl2_5",
+    )
+
+
+def debug_tiny(vocab_size: int = 92553) -> VLMConfig:
+    """2-layer debug config, analogue of the reference's DEBUG_FLAG=1 path
+    (``internvl_chat_finetune.py:1200-1255``)."""
+    return VLMConfig(
+        vision=VisionConfig(
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            image_size=448,
+            patch_size=14,
+        ),
+        llm=LLMConfig(
+            vocab_size=vocab_size,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+        ),
+    )
