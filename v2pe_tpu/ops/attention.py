@@ -1,0 +1,371 @@
+"""Flash attention for v2pe_tpu.
+
+Replaces the reference's CUDA flash-attn dependency
+(``flash_attn_varlen_func`` / qkv-packed variants, modeling_internlm2.py:52-63,
+flash_attention.py:6-12, patch/internlm2_packed_training_patch.py:19-75) with:
+
+* a Pallas TPU forward kernel (``v2pe_tpu.ops.flash_pallas``) — causal /
+  bidirectional, segment-id block masking (the cu_seqlens replacement), GQA,
+  fp32 accumulation; and
+* a doubly-blocked pure-jnp fallback (runs anywhere, O(S) memory, also the
+  analytic backward until the Pallas backward kernel lands).
+
+Layout: q (B, Sq, Hq, D); k/v (B, Sk, Hkv, D); segment ids (B, S) int32 with
+0 = padding; positions (B, S) int32 global token indices used for causality
+(ring-attention shards pass their global offsets through these).
+
+The public entry is :func:`flash_attention`. It is differentiable via
+``jax.custom_vjp`` (analytic flash backward, recomputing probabilities
+blockwise from the saved logsumexp).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+class AttnStatics(NamedTuple):
+    """Hashable per-call statics (custom_vjp nondiff argument)."""
+
+    causal: bool
+    scale: float
+    block_q: int
+    block_k: int
+    impl: str  # 'jnp' | 'pallas'
+    ordered: bool = True  # positions are plain arange (enables block skip)
+    interpret: bool = False
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _pad_axis(x: jnp.ndarray, axis: int, target: int, value=0):
+    pad = target - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _block_mask(seg_q, seg_k, pos_q, pos_k, causal: bool):
+    """(bq, bk) boolean mask for one (q block, k block) pair."""
+    m = (seg_q[:, None] == seg_k[None, :]) & (seg_q[:, None] != 0)
+    if causal:
+        m = m & (pos_q[:, None] >= pos_k[None, :])
+    return m
+
+
+# ---------------------------------------------------------------------------
+# Doubly-blocked jnp forward (per batch row; vmapped over B)
+# ---------------------------------------------------------------------------
+
+
+def _fwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, statics: AttnStatics):
+    """q (Sq,Hq,D), k/v (Sk,Hkv,D). Returns out (Sq,Hq,D), lse (Hq,Sq) fp32."""
+    Sq, Hq, D = q.shape
+    Sk, Hkv, _ = k.shape
+    G = Hq // Hkv
+    bq, bk = min(statics.block_q, Sq), min(statics.block_k, Sk)
+    nq, nk = _cdiv(Sq, bq), _cdiv(Sk, bk)
+    Sq_p, Sk_p = nq * bq, nk * bk
+
+    q = _pad_axis(q, 0, Sq_p)
+    seg_q = _pad_axis(seg_q, 0, Sq_p)
+    pos_q = _pad_axis(pos_q, 0, Sq_p, value=-1)
+    k = _pad_axis(k, 0, Sk_p)
+    v = _pad_axis(v, 0, Sk_p)
+    seg_k = _pad_axis(seg_k, 0, Sk_p)
+    pos_k = _pad_axis(pos_k, 0, Sk_p, value=2**30)
+
+    kr = jnp.reshape(k, (nk, bk, Hkv, D))
+    vr = jnp.reshape(v, (nk, bk, Hkv, D))
+    seg_kr = jnp.reshape(seg_k, (nk, bk))
+    pos_kr = jnp.reshape(pos_k, (nk, bk))
+
+    def q_block(qi):
+        qb = jax.lax.dynamic_slice_in_dim(q, qi * bq, bq, 0)  # (bq,Hq,D)
+        sqb = jax.lax.dynamic_slice_in_dim(seg_q, qi * bq, bq, 0)
+        pqb = jax.lax.dynamic_slice_in_dim(pos_q, qi * bq, bq, 0)
+        qf = qb.astype(jnp.float32) * statics.scale
+
+        def kv_step(carry, inp):
+            acc, m, l = carry
+            kb, vb, skb, pkb = inp
+            mask = _block_mask(sqb, skb, pqb, pkb, statics.causal)
+
+            def compute(carry):
+                acc, m, l = carry
+                kf = kb.astype(jnp.float32)
+                if G > 1:
+                    kf = jnp.repeat(kf, G, axis=1)
+                s = jnp.einsum("qhd,khd->hqk", qf, kf,
+                               preferred_element_type=jnp.float32)
+                s = jnp.where(mask[None, :, :], s, NEG_INF)
+                m_new = jnp.maximum(m, jnp.max(s, axis=-1))  # (Hq,bq)
+                e = jnp.where(mask[None], jnp.exp(s - m_new[..., None]), 0.0)
+                corr = jnp.exp(m - m_new)  # (Hq,bq)
+                l_new = l * corr + jnp.sum(e, axis=-1)
+                vf = vb.astype(jnp.float32)
+                if G > 1:
+                    vf = jnp.repeat(vf, G, axis=1)
+                pv = jnp.einsum("hqk,khd->hqd", e, vf,
+                                preferred_element_type=jnp.float32)
+                acc = acc * corr[..., None] + pv
+                return acc, m_new, l_new
+
+            return jax.lax.cond(jnp.any(mask), compute, lambda c: c,
+                                (acc, m, l)), None
+
+        init = (
+            jnp.zeros((Hq, bq, D), jnp.float32),
+            jnp.full((Hq, bq), NEG_INF, jnp.float32),
+            jnp.zeros((Hq, bq), jnp.float32),
+        )
+        (acc, m, l), _ = jax.lax.scan(kv_step, init, (kr, vr, seg_kr, pos_kr))
+        l_safe = jnp.where(l > 0, l, 1.0)
+        out = (acc / l_safe[..., None]).astype(q.dtype)  # (Hq,bq,D)
+        lse = jnp.where(l > 0, m + jnp.log(l_safe), NEG_INF)  # (Hq,bq)
+        return jnp.swapaxes(out, 0, 1), lse  # (bq,Hq,D), (Hq,bq)
+
+    outs, lses = jax.lax.map(q_block, jnp.arange(nq))
+    out = jnp.reshape(outs, (Sq_p, Hq, D))[:Sq]
+    lse = jnp.reshape(jnp.swapaxes(lses, 0, 1).reshape(Hq, Sq_p), (Hq, Sq_p))[:, :Sq]
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# Analytic flash backward (jnp, doubly blocked, per batch row)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do,
+                statics: AttnStatics):
+    Sq, Hq, D = q.shape
+    Sk, Hkv, _ = k.shape
+    G = Hq // Hkv
+    bq, bk = min(statics.block_q, Sq), min(statics.block_k, Sk)
+    nq, nk = _cdiv(Sq, bq), _cdiv(Sk, bk)
+    Sq_p, Sk_p = nq * bq, nk * bk
+
+    # di = rowsum(dO * O) per (Hq, Sq)
+    di = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    di = jnp.swapaxes(di, 0, 1)  # (Hq, Sq)
+
+    q = _pad_axis(q, 0, Sq_p)
+    do_p = _pad_axis(do, 0, Sq_p)
+    seg_q = _pad_axis(seg_q, 0, Sq_p)
+    pos_q = _pad_axis(pos_q, 0, Sq_p, value=-1)
+    lse_p = _pad_axis(lse, 1, Sq_p, value=NEG_INF)
+    di_p = _pad_axis(di, 1, Sq_p)
+    k = _pad_axis(k, 0, Sk_p)
+    v = _pad_axis(v, 0, Sk_p)
+    seg_k = _pad_axis(seg_k, 0, Sk_p)
+    pos_k = _pad_axis(pos_k, 0, Sk_p, value=2**30)
+
+    qr = jnp.reshape(q, (nq, bq, Hq, D))
+    dor = jnp.reshape(do_p, (nq, bq, Hq, D))
+    seg_qr = jnp.reshape(seg_q, (nq, bq))
+    pos_qr = jnp.reshape(pos_q, (nq, bq))
+    lser = jnp.reshape(lse_p, (Hq, nq, bq))
+    dir_ = jnp.reshape(di_p, (Hq, nq, bq))
+
+    kr = jnp.reshape(k, (nk, bk, Hkv, D))
+    vr = jnp.reshape(v, (nk, bk, Hkv, D))
+    seg_kr = jnp.reshape(seg_k, (nk, bk))
+    pos_kr = jnp.reshape(pos_k, (nk, bk))
+
+    def _p_ds(qb, kb, sqb, skb, pqb, pkb, lse_b, di_b, dob, vb):
+        """Recompute probabilities and dS for one (q,k) block pair."""
+        mask = _block_mask(sqb, skb, pqb, pkb, statics.causal)
+        kf = kb.astype(jnp.float32)
+        vf = vb.astype(jnp.float32)
+        if G > 1:
+            kf = jnp.repeat(kf, G, axis=1)
+            vf = jnp.repeat(vf, G, axis=1)
+        qf = qb.astype(jnp.float32) * statics.scale
+        s = jnp.einsum("qhd,khd->hqk", qf, kf,
+                       preferred_element_type=jnp.float32)
+        p = jnp.where(mask[None], jnp.exp(s - lse_b[..., None]), 0.0)
+        dp = jnp.einsum("qhd,khd->hqk", dob.astype(jnp.float32), vf,
+                        preferred_element_type=jnp.float32)
+        ds = p * (dp - di_b[..., None])  # (Hq,bq,bk)
+        return p, ds, kf, mask
+
+    # Pass 1: dk, dv — scan over kv blocks, inner scan over q blocks.
+    def kv_block(_, ki):
+        kb, vb = kr[ki], vr[ki]
+        skb, pkb = seg_kr[ki], pos_kr[ki]
+
+        def q_step(carry, inp):
+            dk_acc, dv_acc = carry
+            qb, dob, sqb, pqb, lse_b, di_b = inp
+            mask_any = jnp.any(_block_mask(sqb, skb, pqb, pkb, statics.causal))
+
+            def compute(carry):
+                dk_acc, dv_acc = carry
+                p, ds, _, _ = _p_ds(qb, kb, sqb, skb, pqb, pkb, lse_b, di_b,
+                                    dob, vb)
+                dv_b = jnp.einsum("hqk,qhd->khd", p, dob.astype(jnp.float32),
+                                  preferred_element_type=jnp.float32)
+                dk_b = jnp.einsum("hqk,qhd->khd", ds,
+                                  qb.astype(jnp.float32) * statics.scale,
+                                  preferred_element_type=jnp.float32)
+                if G > 1:  # fold Hq back onto Hkv groups
+                    dv_b = dv_b.reshape(bk, Hkv, G, D).sum(axis=2)
+                    dk_b = dk_b.reshape(bk, Hkv, G, D).sum(axis=2)
+                return dk_acc + dk_b, dv_acc + dv_b
+
+            return jax.lax.cond(mask_any, compute, lambda c: c,
+                                (dk_acc, dv_acc)), None
+
+        init = (jnp.zeros((bk, Hkv, D), jnp.float32),
+                jnp.zeros((bk, Hkv, D), jnp.float32))
+        (dk_b, dv_b), _ = jax.lax.scan(
+            q_step, init,
+            (qr, dor, seg_qr, pos_qr,
+             jnp.swapaxes(lser, 0, 1), jnp.swapaxes(dir_, 0, 1)))
+        return None, (dk_b, dv_b)
+
+    _, (dk_blocks, dv_blocks) = jax.lax.scan(kv_block, None, jnp.arange(nk))
+    dk = jnp.reshape(dk_blocks, (Sk_p, Hkv, D))[:Sk].astype(k.dtype)
+    dv = jnp.reshape(dv_blocks, (Sk_p, Hkv, D))[:Sk].astype(v.dtype)
+
+    # Pass 2: dq — scan over q blocks, inner scan over kv blocks.
+    def q_block(_, qi):
+        qb, dob = qr[qi], dor[qi]
+        sqb, pqb = seg_qr[qi], pos_qr[qi]
+        lse_b, di_b = lser[:, qi], dir_[:, qi]
+
+        def kv_step(dq_acc, inp):
+            kb, vb, skb, pkb = inp
+            mask_any = jnp.any(_block_mask(sqb, skb, pqb, pkb, statics.causal))
+
+            def compute(dq_acc):
+                _, ds, kf, _ = _p_ds(qb, kb, sqb, skb, pqb, pkb, lse_b, di_b,
+                                     dob, vb)
+                dq_b = jnp.einsum("hqk,khd->qhd", ds, kf,
+                                  preferred_element_type=jnp.float32)
+                return dq_acc + dq_b * statics.scale
+
+            return jax.lax.cond(mask_any, compute, lambda c: c, dq_acc), None
+
+        dq_b, _ = jax.lax.scan(
+            kv_step, jnp.zeros((bq, Hq, D), jnp.float32),
+            (kr, vr, seg_kr, pos_kr))
+        return None, dq_b
+
+    _, dq_blocks = jax.lax.scan(q_block, None, jnp.arange(nq))
+    dq = jnp.reshape(dq_blocks, (Sq_p, Hq, D))[:Sq].astype(q.dtype)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp plumbing
+# ---------------------------------------------------------------------------
+
+
+def _fwd_dispatch(statics: AttnStatics, q, k, v, seg_q, seg_k, pos_q, pos_k):
+    if statics.impl == "pallas":
+        from v2pe_tpu.ops import flash_pallas
+
+        return flash_pallas.flash_attention_fwd_pallas(
+            q, k, v, seg_q, seg_k, pos_q, pos_k,
+            causal=statics.causal, scale=statics.scale,
+            block_q=statics.block_q, block_k=statics.block_k,
+            ordered=statics.ordered, interpret=statics.interpret)
+    out, lse = jax.vmap(
+        lambda *a: _fwd_jnp_1b(*a, statics))(q, k, v, seg_q, seg_k,
+                                             pos_q, pos_k)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash(statics: AttnStatics, q, k, v, seg_q, seg_k, pos_q, pos_k):
+    out, _ = _fwd_dispatch(statics, q, k, v, seg_q, seg_k, pos_q, pos_k)
+    return out
+
+
+def _flash_fwd(statics, q, k, v, seg_q, seg_k, pos_q, pos_k):
+    out, lse = _fwd_dispatch(statics, q, k, v, seg_q, seg_k, pos_q, pos_k)
+    return out, (q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse)
+
+
+def _flash_bwd(statics, res, do):
+    q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse = res
+    dq, dk, dv = jax.vmap(
+        lambda *a: _bwd_jnp_1b(*a, statics))(q, k, v, seg_q, seg_k,
+                                             pos_q, pos_k, out, lse, do)
+    return dq, dk, dv, None, None, None, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    q_positions: Optional[jnp.ndarray] = None,
+    kv_positions: Optional[jnp.ndarray] = None,
+    causal: bool = True,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Segment-aware flash attention.
+
+    Args:
+      q: (B, Sq, Hq, D); k/v: (B, Sk, Hkv, D) with Hq % Hkv == 0 (GQA).
+      q_segment_ids / kv_segment_ids: (B, S) int32, 0 = padding. None means
+        one segment covering the whole sequence.
+      q_positions / kv_positions: (B, S) int32 global indices for causality;
+        default arange. Ring shards / KV-cache decode pass real offsets.
+      causal: causal masking (decoder) or bidirectional (ViT).
+      impl: 'auto' (pallas on TPU, jnp elsewhere) | 'pallas' | 'jnp'.
+
+    Returns: (B, Sq, Hq, D) in q.dtype.
+    """
+    B, Sq, Hq, D = q.shape
+    _, Sk, Hkv, _ = k.shape
+    assert k.shape == v.shape and Hq % Hkv == 0
+    if scale is None:
+        scale = D ** -0.5
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    interpret = impl == "pallas" and jax.default_backend() != "tpu"
+    ordered = q_positions is None and kv_positions is None
+
+    if q_segment_ids is None:
+        q_segment_ids = jnp.ones((B, Sq), jnp.int32)
+    if kv_segment_ids is None:
+        kv_segment_ids = jnp.ones((B, Sk), jnp.int32)
+    if q_positions is None:
+        q_positions = jnp.broadcast_to(jnp.arange(Sq, dtype=jnp.int32), (B, Sq))
+    if kv_positions is None:
+        kv_positions = jnp.broadcast_to(jnp.arange(Sk, dtype=jnp.int32), (B, Sk))
+
+    statics = AttnStatics(causal=causal, scale=float(scale),
+                          block_q=block_q, block_k=block_k, impl=impl,
+                          ordered=ordered, interpret=interpret)
+    return _flash(statics, q, k, v,
+                  q_segment_ids.astype(jnp.int32),
+                  kv_segment_ids.astype(jnp.int32),
+                  q_positions.astype(jnp.int32),
+                  kv_positions.astype(jnp.int32))

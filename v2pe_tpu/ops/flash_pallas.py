@@ -1,0 +1,204 @@
+"""Pallas TPU flash-attention forward kernel.
+
+TPU-native replacement for the reference's CUDA ``flash_attn_varlen_func``
+(modeling_internlm2.py:729-821) and the qkv-packed ViT kernel
+(flash_attention.py:15-76). Differences by design:
+
+* varlen/cu_seqlens is replaced by **segment ids** (static shapes; padding is
+  segment 0) — the packed-training path's attention_mask-as-cu_seqlens trick
+  (dataset_packed.py:623) becomes a (B, S) int32 array;
+* GQA is native: the kv block index map folds q-head -> kv-head (h // G), so
+  K/V are never materialized per-q-head (the reference calls repeat_kv);
+* fp32 accumulation with online softmax; returns the logsumexp so the
+  (currently jnp) analytic backward and ring-attention merges can consume it.
+
+Grid: (B, Hq, num_q_blocks, num_kv_blocks) — the kv axis is innermost and
+sequential on TPU, with VMEM scratch carrying (acc, m, l) across kv steps.
+Causal block skip: when positions are plain arange (``ordered=True``), dead
+kv blocks are clamped in the index maps (no DMA) and skipped via pl.when.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+LANES = 128
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
+            q_ref, k_ref, v_ref,
+            out_ref, lse_ref,
+            acc_ref, m_ref, l_ref,
+            *, causal: bool, ordered: bool, scale: float,
+            block_q: int, block_k: int, num_k_blocks: int):
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    # Static-shape causal block skip (only valid when positions are arange).
+    if causal and ordered:
+        run = j * block_k <= i * block_q + (block_q - 1)
+    else:
+        run = True
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32) * scale  # (bq, D)
+        k = k_ref[0, 0].astype(jnp.float32)          # (bk, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (bq, bk)
+
+        # 2D-only index math (TPU Mosaic prefers >=2D iota/broadcasts).
+        seg_q = jnp.swapaxes(seg_q_ref[...], 0, 1)    # (bq, 1)
+        seg_k = seg_k_ref[...]                        # (1, bk)
+        mask = (seg_q == seg_k) & (seg_q != 0)
+        if causal:
+            pos_q = jnp.swapaxes(pos_q_ref[...], 0, 1)  # (bq, 1)
+            pos_k = pos_k_ref[...]                      # (1, bk)
+            mask &= pos_q >= pos_k
+
+        s = jnp.where(mask, s, NEG_INF)
+        m_prev = m_ref[:, :1]                          # (bq, 1)
+        l_prev = l_ref[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)     # (bq, 1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        e = jnp.where(mask, jnp.exp(s - m_new), 0.0)   # (bq, bk)
+        corr = jnp.exp(m_prev - m_new)                 # (bq, 1)
+        l_new = l_prev * corr + jnp.sum(e, axis=-1, keepdims=True)
+
+        v = v_ref[0, 0].astype(jnp.float32)            # (bk, D)
+        pv = jax.lax.dot_general(
+            e, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (bq, D)
+        acc_ref[...] = acc_ref[...] * corr + pv
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == num_k_blocks - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        l_safe = jnp.where(l > 0, l, 1.0)
+        out_ref[0, 0] = (acc_ref[...] / l_safe).astype(out_ref.dtype)
+        m = m_ref[:, :1]
+        lse = jnp.where(l > 0, m + jnp.log(l_safe), NEG_INF)  # (bq, 1)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[-2:])
+
+
+def flash_attention_fwd_pallas(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    seg_q: jnp.ndarray,
+    seg_k: jnp.ndarray,
+    pos_q: jnp.ndarray,
+    pos_k: jnp.ndarray,
+    *,
+    causal: bool,
+    scale: float,
+    block_q: int = 256,
+    block_k: int = 256,
+    ordered: bool = True,
+    interpret: bool = False,
+):
+    """Forward flash attention. Layout/contract matches attention.py:
+    q (B,Sq,Hq,D), k/v (B,Sk,Hkv,D) -> out (B,Sq,Hq,D), lse (B,Hq,Sq) fp32.
+    """
+    B, Sq, Hq, D = q.shape
+    _, Sk, Hkv, _ = k.shape
+    G = Hq // Hkv
+
+    bq = min(block_q, Sq)
+    bk = min(block_k, Sk)
+    nq, nk = _cdiv(Sq, bq), _cdiv(Sk, bk)
+    Sq_p, Sk_p = nq * bq, nk * bk
+
+    def padax(x, axis, target, value=0):
+        pad = target - x.shape[axis]
+        if pad == 0:
+            return x
+        w = [(0, 0)] * x.ndim
+        w[axis] = (0, pad)
+        return jnp.pad(x, w, constant_values=value)
+
+    # BHSD layout for efficient (bq, D) VMEM tiles.
+    qt = padax(jnp.swapaxes(q, 1, 2), 2, Sq_p)          # (B,Hq,Sq,D)
+    kt = padax(jnp.swapaxes(k, 1, 2), 2, Sk_p)          # (B,Hkv,Sk,D)
+    vt = padax(jnp.swapaxes(v, 1, 2), 2, Sk_p)
+    seg_q = padax(seg_q, 1, Sq_p)                       # pad -> segment 0
+    seg_k = padax(seg_k, 1, Sk_p)
+    pos_q = padax(pos_q, 1, Sq_p, value=-1)
+    pos_k = padax(pos_k, 1, Sk_p, value=2**30)
+
+    if causal and ordered:
+        # Clamp dead kv blocks onto the diagonal block: no extra DMA.
+        def kv_index(b, h, i, j):
+            jc = jnp.minimum(j, jax.lax.div(i * bq + bq - 1, bk))
+            return (b, jax.lax.div(h, G), jc, 0)
+
+        def kv_vec_index(b, h, i, j):
+            jc = jnp.minimum(j, jax.lax.div(i * bq + bq - 1, bk))
+            return (b, jc)
+    else:
+        def kv_index(b, h, i, j):
+            return (b, jax.lax.div(h, G), j, 0)
+
+        def kv_vec_index(b, h, i, j):
+            return (b, j)
+
+    grid = (B, Hq, nq, nk)
+    kernel = functools.partial(
+        _kernel, causal=causal, ordered=ordered, scale=scale,
+        block_q=bq, block_k=bk, num_k_blocks=nk)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq), lambda b, h, i, j: (b, i)),          # seg_q
+            pl.BlockSpec((1, bk), kv_vec_index),                        # seg_k
+            pl.BlockSpec((1, bq), lambda b, h, i, j: (b, i)),          # pos_q
+            pl.BlockSpec((1, bk), kv_vec_index),                        # pos_k
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bk, D), kv_index),
+            pl.BlockSpec((1, 1, bk, D), kv_index),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, LANES), lambda b, h, i, j: (b, h, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hq, Sq_p, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, Sq_p, LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, D), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(seg_q, seg_k, pos_q, pos_k, qt, kt, vt)
+
+    out = jnp.swapaxes(out[:, :, :Sq], 1, 2)  # (B,Sq,Hq,D)
+    lse = lse[:, :, :Sq, 0]                   # (B,Hq,Sq)
+    return out, lse

@@ -1,0 +1,79 @@
+"""Rotary position embedding consuming V2PE's per-token float32 position ids.
+
+Unlike standard RoPE (cached integer-position cos/sin table), V2PE computes
+``freqs = outer(pos_ids_float32, inv_freq)`` per forward call from an
+arbitrary float32 position vector. Reference:
+``internvl/model/internlm2/modeling_internlm2.py:269-309`` (class ``V2PE``)
+and the rotary application with fp32 upcast at ``:416-441``.
+
+All math here is elementwise — XLA fuses it into the surrounding matmuls, so
+no Pallas kernel is needed for the rotary stage itself.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rope_inv_freq(head_dim: int, base: float) -> jnp.ndarray:
+    """inv_freq = base^(-2i/dim), float32 — modeling_internlm2.py:290-292."""
+    i = jnp.arange(0, head_dim, 2, dtype=jnp.float32)
+    return 1.0 / (base ** (i / head_dim))
+
+
+def compute_rope_cos_sin(
+    pos_ids: jnp.ndarray, head_dim: int, base: float
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables from a float32 position vector.
+
+    Args:
+      pos_ids: (..., S) float32 — fractional for V2PE visual tokens.
+    Returns:
+      (cos, sin), each (..., S, head_dim) float32 with the
+      ``cat(freqs, freqs)`` half-duplicated layout of the reference
+      (modeling_internlm2.py:296-300).
+    """
+    inv_freq = rope_inv_freq(head_dim, base)
+    freqs = pos_ids.astype(jnp.float32)[..., None] * inv_freq  # (..., S, hd/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    """modeling_internlm2.py:416-421."""
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rotary(
+    x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+) -> jnp.ndarray:
+    """Apply rotary embedding with fp32 compute, returning the input dtype.
+
+    Args:
+      x: (..., S, H, D) or (..., S, D) query/key states.
+      cos/sin: (..., S, D) float32; broadcast over the head axis when x has
+        one.
+
+    Matches ``apply_rotary_pos_emb`` (modeling_internlm2.py:425-433): q/k are
+    upcast to float32, rotated, and downcast.
+    """
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if x.ndim == cos.ndim + 1:  # (..., S, H, D) with cos (..., S, D)
+        cos = cos[..., :, None, :]
+        sin = sin[..., :, None, :]
+    out = xf * cos + _rotate_half(xf) * sin
+    return out.astype(orig_dtype)
+
+
+def apply_rotary_from_pos_ids(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    pos_ids: jnp.ndarray,
+    base: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Convenience wrapper: V2PE rotary for q, k in (B, S, H, D) layout."""
+    cos, sin = compute_rope_cos_sin(pos_ids, q.shape[-1], base)
+    return apply_rotary(q, cos, sin), apply_rotary(k, cos, sin)
