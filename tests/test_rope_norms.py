@@ -74,7 +74,7 @@ def test_rms_norm_bf16_dtype_semantics():
     with torch.no_grad():
         mod.weight.uniform_(0.5, 1.5)
     mod = mod.to(torch.bfloat16)
-    ref = mod(x).float().numpy()
+    ref = mod(x).detach().float().numpy()
     got = rms_norm(
         jnp.asarray(x.float().numpy()).astype(jnp.bfloat16),
         jnp.asarray(mod.weight.float().numpy()).astype(jnp.bfloat16),
