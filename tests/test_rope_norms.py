@@ -77,7 +77,7 @@ def test_rms_norm_bf16_dtype_semantics():
     ref = mod(x).detach().float().numpy()
     got = rms_norm(
         jnp.asarray(x.float().numpy()).astype(jnp.bfloat16),
-        jnp.asarray(mod.weight.float().numpy()).astype(jnp.bfloat16),
+        jnp.asarray(mod.weight.detach().float().numpy()).astype(jnp.bfloat16),
         1e-5,
     )
     np.testing.assert_allclose(np.asarray(got, dtype=np.float32), ref,
