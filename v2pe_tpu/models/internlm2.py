@@ -1,0 +1,204 @@
+"""InternLM2 decoder, functional JAX.
+
+Behavior parity with ``internvl/model/internlm2/modeling_internlm2.py``:
+
+* fused ``wqkv`` with the GQA **interleaved** layout: reshape ``(h gs d)``
+  with ``gs = 2 + num_key_value_groups``; q = first gs-2 slots per kv head,
+  k/v = last two (``:576-592``) — preserved exactly for checkpoint compat;
+* V2PE rotary from a per-token float32 position vector (``:269-309``),
+  applied in fp32 (``:416-441``);
+* pre-RMSNorm decoder layers with SwiGLU MLP (``:1229-1465``, ``:444-458``);
+* fp32 logits (``:1947-1949``).
+
+TPU-first: layers are stacked and scanned; attention is the segment-aware
+Pallas flash kernel; KV cache is a preallocated static-shape buffer updated
+with dynamic_update_slice (the reference's tuple-concat cache, ``:599-604``,
+is reshaped into decode-friendly form).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from v2pe_tpu.core.config import LLMConfig
+from v2pe_tpu.ops.attention import flash_attention
+from v2pe_tpu.ops.norms import rms_norm
+from v2pe_tpu.ops.rope import apply_rotary, compute_rope_cos_sin
+
+
+class KVCache(NamedTuple):
+    """Static-shape per-layer KV cache: (L, B, max_len, Hkv, hd)."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    length: jnp.ndarray  # () int32 — tokens filled so far
+
+    @staticmethod
+    def zeros(cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+        shape = (cfg.num_hidden_layers, batch, max_len,
+                 cfg.num_key_value_heads, cfg.head_dim)
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                       jnp.zeros((), jnp.int32))
+
+
+def split_wqkv(qkv: jnp.ndarray, cfg: LLMConfig):
+    """(B, S, (Hkv*(2+G))*hd) -> q (B,S,Hq,hd), k/v (B,S,Hkv,hd).
+
+    Exact parity with the rearrange at modeling_internlm2.py:576-592.
+    """
+    B, S, _ = qkv.shape
+    G = cfg.num_key_value_groups
+    qkv = qkv.reshape(B, S, cfg.num_key_value_heads, 2 + G, cfg.head_dim)
+    q = qkv[:, :, :, :G].reshape(B, S, cfg.num_attention_heads, cfg.head_dim)
+    k = qkv[:, :, :, -2]
+    v = qkv[:, :, :, -1]
+    return q, k, v
+
+
+def _dot(x, w, dtype=None):
+    return jnp.dot(x, w, preferred_element_type=jnp.float32
+                   ).astype(dtype or x.dtype)
+
+
+def attention_forward(
+    p: dict,
+    cfg: LLMConfig,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    *,
+    segment_ids: Optional[jnp.ndarray],
+    positions: Optional[jnp.ndarray],
+    attn_impl: str,
+    kv_cache_layer: Optional[tuple] = None,
+    cache_length: Optional[jnp.ndarray] = None,
+):
+    """One attention block. If kv_cache_layer=(k_buf, v_buf) is given, new k/v
+    are written at cache_length and attention runs over the whole buffer
+    (decode/prefill-with-cache path)."""
+    B, S, D = x.shape
+    qkv = _dot(x, p["wqkv_kernel"])
+    if cfg.bias:
+        qkv = qkv + p["wqkv_bias"]
+    q, k, v = split_wqkv(qkv, cfg)
+    q = apply_rotary(q, cos, sin)
+    k = apply_rotary(k, cos, sin)
+
+    new_cache = None
+    if kv_cache_layer is not None:
+        k_buf, v_buf = kv_cache_layer
+        k_buf = jax.lax.dynamic_update_slice_in_dim(
+            k_buf, k.astype(k_buf.dtype), cache_length, axis=1)
+        v_buf = jax.lax.dynamic_update_slice_in_dim(
+            v_buf, v.astype(v_buf.dtype), cache_length, axis=1)
+        new_cache = (k_buf, v_buf)
+        max_len = k_buf.shape[1]
+        kv_pos = jnp.broadcast_to(jnp.arange(max_len, dtype=jnp.int32),
+                                  (B, max_len))
+        kv_seg = jnp.where(kv_pos < cache_length + S, 1, 0)
+        q_pos = cache_length + jnp.broadcast_to(
+            jnp.arange(S, dtype=jnp.int32), (B, S))
+        out = flash_attention(
+            q, k_buf, v_buf,
+            q_segment_ids=jnp.ones((B, S), jnp.int32),
+            kv_segment_ids=kv_seg,
+            q_positions=q_pos, kv_positions=kv_pos,
+            causal=True, impl=attn_impl)
+    else:
+        out = flash_attention(
+            q, k, v,
+            q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+            q_positions=positions, kv_positions=positions,
+            causal=True, impl=attn_impl)
+
+    out = out.reshape(B, S, cfg.num_attention_heads * cfg.head_dim)
+    out = _dot(out, p["wo_kernel"])
+    if cfg.bias:
+        out = out + p["wo_bias"]
+    return out, new_cache
+
+
+def mlp_forward(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """SwiGLU: w2(silu(w1 x) * w3 x) — modeling_internlm2.py:444-458."""
+    return _dot(jax.nn.silu(_dot(x, p["w1_kernel"])) * _dot(x, p["w3_kernel"]),
+                p["w2_kernel"])
+
+
+def layer_forward(p, cfg: LLMConfig, x, cos, sin, *, segment_ids, positions,
+                  attn_impl, kv_cache_layer=None, cache_length=None):
+    h = rms_norm(x, p["attention_norm"], cfg.rms_norm_eps)
+    attn_out, new_cache = attention_forward(
+        p, cfg, h, cos, sin, segment_ids=segment_ids, positions=positions,
+        attn_impl=attn_impl, kv_cache_layer=kv_cache_layer,
+        cache_length=cache_length)
+    x = x + attn_out
+    h = rms_norm(x, p["ffn_norm"], cfg.rms_norm_eps)
+    x = x + mlp_forward(p, h)
+    return x, new_cache
+
+
+def llm_forward(
+    params: dict,
+    cfg: LLMConfig,
+    *,
+    input_ids: Optional[jnp.ndarray] = None,
+    inputs_embeds: Optional[jnp.ndarray] = None,
+    rope_pos_ids: Optional[jnp.ndarray] = None,  # (B, S) float32 V2PE ids
+    segment_ids: Optional[jnp.ndarray] = None,
+    positions: Optional[jnp.ndarray] = None,  # (B, S) int32 token indices
+    attn_impl: str = "auto",
+    kv_cache: Optional[KVCache] = None,
+    remat: bool = False,
+    return_hidden: bool = False,
+):
+    """Returns fp32 logits (B, S, V) (or hidden states), and the updated
+    KVCache when one was passed."""
+    if inputs_embeds is None:
+        inputs_embeds = params["tok_embeddings"][input_ids]
+    x = inputs_embeds
+    B, S, _ = x.shape
+
+    if rope_pos_ids is None:
+        base = 0 if kv_cache is None else kv_cache.length
+        rope_pos_ids = (base + jnp.arange(S, dtype=jnp.float32))[None, :]
+        rope_pos_ids = jnp.broadcast_to(rope_pos_ids, (B, S))
+    cos, sin = compute_rope_cos_sin(rope_pos_ids.astype(jnp.float32),
+                                    cfg.head_dim, cfg.rope_theta)
+
+    if kv_cache is None:
+        def run_layer(lp, x):
+            out, _ = layer_forward(lp, cfg, x, cos, sin,
+                                   segment_ids=segment_ids,
+                                   positions=positions, attn_impl=attn_impl)
+            return out
+
+        if remat:
+            run_layer = jax.checkpoint(run_layer)
+
+        def scan_body(x, lp):
+            return run_layer(lp, x), None
+
+        x, _ = jax.lax.scan(scan_body, x, params["layers"])
+        new_cache = None
+    else:
+        def scan_body(x, inp):
+            lp, kb, vb = inp
+            x, (kb, vb) = layer_forward(
+                lp, cfg, x, cos, sin, segment_ids=segment_ids,
+                positions=positions, attn_impl=attn_impl,
+                kv_cache_layer=(kb, vb), cache_length=kv_cache.length)
+            return x, (kb, vb)
+
+        x, (k_new, v_new) = jax.lax.scan(
+            scan_body, x, (params["layers"], kv_cache.k, kv_cache.v))
+        new_cache = KVCache(k_new, v_new, kv_cache.length + S)
+
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    if return_hidden:
+        return x, new_cache
+    logits = jnp.dot(x, params["output_kernel"],
+                     preferred_element_type=jnp.float32)
+    return logits, new_cache

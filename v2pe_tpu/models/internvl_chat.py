@@ -1,0 +1,171 @@
+"""InternVLChat composite VLM, functional JAX.
+
+Behavior parity with
+``internvl/model/internvl_chat/modeling_internvl_chat.py``:
+
+* ``extract_feature`` (``:359-384``): ViT forward (optional intermediate
+  layer via select_layer), drop CLS, reshape to h x w grid, pixel_shuffle,
+  mlp1 projector;
+* ``pixel_shuffle`` v2 (``:343-357``): space-to-depth by 0.5 — 1024 ViT patch
+  tokens become 256 tokens with 4x channels;
+* ``mlp1``: LayerNorm -> Linear -> GELU -> Linear (``:122-127``);
+* forward (``:165-341``): scatter ViT embeds into ``<IMG_CONTEXT>`` slots and
+  run the LLM; weighted shifted-CE loss with optional global weight-sum
+  reduction (``:290-316``).
+
+TPU-first: the scatter is a static-shape masked gather (cumsum indexing into
+flag-sorted tile rows) instead of the reference's boolean fancy-indexing;
+padded tiles (image_flags==0) are encoded anyway (one blank tile per
+text-only sample) and sorted to the end, so shapes never depend on data.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from v2pe_tpu.core.config import VLMConfig
+from v2pe_tpu.models import intern_vit, internlm2
+from v2pe_tpu.ops.norms import layer_norm
+
+
+def pixel_shuffle(x: jnp.ndarray, scale_factor: float, ps_version: str = "v2"):
+    """(N, W, H, C) -> (N, W*s, H*s, C/s^2). Parity with :343-357 including
+    the v1 (transposed) variant."""
+    n, w, h, c = x.shape
+    x = x.reshape(n, w, int(h * scale_factor), int(c / scale_factor))
+    x = x.transpose(0, 2, 1, 3)
+    x = x.reshape(n, int(h * scale_factor), int(w * scale_factor),
+                  int(c / (scale_factor * scale_factor)))
+    if ps_version == "v2":
+        x = x.transpose(0, 2, 1, 3)
+    return x
+
+
+def extract_feature(params: dict, cfg: VLMConfig, pixel_values: jnp.ndarray,
+                    *, attn_impl: str = "auto", remat: bool = False):
+    """(N_tiles, 3, S, S) -> (N_tiles, num_image_token, llm_hidden)."""
+    vit_out = intern_vit.vision_forward(
+        params["vision"], cfg.vision, pixel_values,
+        select_layer=cfg.select_layer, attn_impl=attn_impl, remat=remat)
+    vit_embeds = vit_out[:, 1:, :]  # drop CLS
+    n, num_patches, c = vit_embeds.shape
+    hw = int(round(num_patches ** 0.5))
+    vit_embeds = vit_embeds.reshape(n, hw, hw, c)
+    vit_embeds = pixel_shuffle(vit_embeds, cfg.downsample_ratio,
+                               cfg.ps_version)
+    vit_embeds = vit_embeds.reshape(n, -1, vit_embeds.shape[-1])
+
+    p = params["mlp1"]
+    h = layer_norm(vit_embeds, p["ln_weight"], p["ln_bias"], 1e-5)
+    h = jnp.dot(h, p["fc1_kernel"], preferred_element_type=jnp.float32
+                ).astype(vit_embeds.dtype) + p["fc1_bias"]
+    h = jax.nn.gelu(h, approximate=False)
+    h = jnp.dot(h, p["fc2_kernel"], preferred_element_type=jnp.float32
+                ).astype(vit_embeds.dtype) + p["fc2_bias"]
+
+    if cfg.img_emb_down_sample_ratio is not None:
+        # adaptive 1D avg-pool along tokens (:379-383)
+        tgt = cfg.num_image_token
+        h = jax.image.resize(h, (h.shape[0], tgt, h.shape[2]), "linear")
+    return h
+
+
+def scatter_image_embeds(
+    input_embeds: jnp.ndarray,   # (B, S, C)
+    input_ids: jnp.ndarray,      # (B, S)
+    vit_embeds: jnp.ndarray,     # (N_tiles, tokens_per_tile, C)
+    image_flags: jnp.ndarray,    # (N_tiles,) 1 = real tile
+    img_context_token_id: int,
+):
+    """Replace <IMG_CONTEXT> slots with flag-filtered ViT rows, statically.
+
+    Equivalent of ``input_embeds[selected] = vit_embeds[image_flags==1]``
+    (:241-254) without dynamic shapes: real tiles are stable-sorted to the
+    front, and the j-th IMG_CONTEXT token (in flat batchxseq order) reads row
+    j of the sorted tile-token matrix.
+    """
+    B, S, C = input_embeds.shape
+    flat = vit_embeds.reshape(-1, C)
+    tokens_per_tile = vit_embeds.shape[1]
+    flag_rows = jnp.repeat(image_flags.astype(jnp.int32), tokens_per_tile)
+    order = jnp.argsort(1 - flag_rows, stable=True)
+    flat_sorted = flat[order]
+
+    selected = (input_ids == img_context_token_id).reshape(-1)
+    idx = jnp.cumsum(selected) - 1
+    idx = jnp.clip(idx, 0, flat_sorted.shape[0] - 1)
+    gathered = flat_sorted[idx].reshape(B, S, C)
+    return jnp.where(selected.reshape(B, S)[..., None], gathered,
+                     input_embeds)
+
+
+class VLMOutput(NamedTuple):
+    loss: Optional[jnp.ndarray]
+    logits: jnp.ndarray
+
+
+def forward(
+    params: dict,
+    cfg: VLMConfig,
+    *,
+    input_ids: jnp.ndarray,            # (B, S)
+    pixel_values: jnp.ndarray,         # (N_tiles, 3, sz, sz)
+    image_flags: jnp.ndarray,          # (N_tiles,)
+    rope_pos_ids: jnp.ndarray,         # (B, S) float32 V2PE ids
+    img_context_token_id: int,
+    segment_ids: Optional[jnp.ndarray] = None,
+    labels: Optional[jnp.ndarray] = None,      # (B, S), -100 = ignore
+    loss_weight: Optional[jnp.ndarray] = None,  # (B, S) float32
+    loss_weight_sum: Optional[jnp.ndarray] = None,  # global pmean'd sum
+    attn_impl: str = "auto",
+    remat: bool = False,
+) -> VLMOutput:
+    llm = params["llm"]
+    input_embeds = llm["tok_embeddings"][input_ids]
+
+    vit_embeds = extract_feature(params, cfg, pixel_values,
+                                 attn_impl=attn_impl, remat=remat)
+    input_embeds = scatter_image_embeds(
+        input_embeds, input_ids, vit_embeds, image_flags,
+        img_context_token_id)
+
+    logits, _ = internlm2.llm_forward(
+        params["llm"], cfg.llm,
+        inputs_embeds=input_embeds,
+        rope_pos_ids=rope_pos_ids,
+        segment_ids=segment_ids,
+        attn_impl=attn_impl,
+        remat=remat,
+    )
+
+    loss = None
+    if labels is not None:
+        loss = cross_entropy_loss(logits, labels, loss_weight,
+                                  loss_weight_sum, cfg.llm.vocab_size)
+    return VLMOutput(loss=loss, logits=logits)
+
+
+def cross_entropy_loss(logits, labels, loss_weight=None, loss_weight_sum=None,
+                       vocab_size: Optional[int] = None):
+    """Shifted CE with optional per-token weights (:290-316).
+
+    loss_weight_sum: pass the (optionally all-reduce-averaged) global weight
+    sum for ``loss_reduction_all_gather`` parity; defaults to the local sum.
+    """
+    shift_logits = logits[:, :-1, :]
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != -100
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    token_loss = -jnp.take_along_axis(logp, safe_labels[..., None],
+                                      axis=-1)[..., 0]
+    token_loss = jnp.where(valid, token_loss, 0.0)
+
+    if loss_weight is not None:
+        w = loss_weight[:, 1:].astype(jnp.float32) * valid
+        wsum = loss_weight_sum if loss_weight_sum is not None else jnp.sum(w)
+        return jnp.sum(token_loss * w) / jnp.maximum(wsum, 1e-8)
+    return jnp.sum(token_loss) / jnp.maximum(jnp.sum(valid), 1)
