@@ -44,6 +44,37 @@ def install_reference():
     sys.modules["timm.models"] = m1
     sys.modules["timm.models.layers"] = m2
 
+    def _module(name, **attrs):
+        mod = types.ModuleType(name)
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        sys.modules[name] = mod
+        return mod
+
+    # decord (C++ video decode) — only VideoReader/cpu are imported at module
+    # scope; video tests don't exercise them here.
+    _module("decord", VideoReader=object, cpu=lambda *a, **k: None)
+
+    # torchvision.transforms — dataset.py imports it at module scope; the
+    # tiling functions under golden test don't touch it.
+    class _T:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):
+            return x
+
+    tv = _module("torchvision")
+    tvt = _module(
+        "torchvision.transforms",
+        Compose=_T, Lambda=_T, Resize=_T, ToTensor=_T, Normalize=_T,
+        RandomChoice=_T,
+    )
+    _module("torchvision.transforms.functional",
+            InterpolationMode=types.SimpleNamespace(BICUBIC="bicubic"))
+    tv.transforms = tvt
+
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
     _installed = True

@@ -73,6 +73,22 @@ def extract_feature(params: dict, cfg: VLMConfig, pixel_values: jnp.ndarray,
     return h
 
 
+def scatter_image_embeds_by_index(
+    input_embeds: jnp.ndarray,   # (B, S, C)
+    vit_embeds: jnp.ndarray,     # (N_tiles, tokens_per_tile, C)
+    vit_gather_idx: jnp.ndarray,  # (B, S) int32; -1 = text token, else row
+):
+    """Shard-layout-independent scatter: the host precomputes, for every
+    <IMG_CONTEXT> slot, which flat ViT row feeds it (global order), so the
+    device side is a pure gather + select — correct under any sequence
+    sharding (zigzag ring shards included)."""
+    C = input_embeds.shape[-1]
+    flat = vit_embeds.reshape(-1, C)
+    idx = jnp.clip(vit_gather_idx, 0, flat.shape[0] - 1)
+    gathered = flat[idx]
+    return jnp.where((vit_gather_idx >= 0)[..., None], gathered, input_embeds)
+
+
 def scatter_image_embeds(
     input_embeds: jnp.ndarray,   # (B, S, C)
     input_ids: jnp.ndarray,      # (B, S)
@@ -117,7 +133,10 @@ def forward(
     rope_pos_ids: jnp.ndarray,         # (B, S) float32 V2PE ids
     img_context_token_id: int,
     segment_ids: Optional[jnp.ndarray] = None,
+    token_positions: Optional[jnp.ndarray] = None,  # (B,S) global indices
+    vit_gather_idx: Optional[jnp.ndarray] = None,   # (B,S), -1 = text
     labels: Optional[jnp.ndarray] = None,      # (B, S), -100 = ignore
+    targets: Optional[jnp.ndarray] = None,     # (B, S) PRE-shifted labels
     loss_weight: Optional[jnp.ndarray] = None,  # (B, S) float32
     loss_weight_sum: Optional[jnp.ndarray] = None,  # global pmean'd sum
     attn_impl: str = "auto",
@@ -128,24 +147,50 @@ def forward(
 
     vit_embeds = extract_feature(params, cfg, pixel_values,
                                  attn_impl=attn_impl, remat=remat)
-    input_embeds = scatter_image_embeds(
-        input_embeds, input_ids, vit_embeds, image_flags,
-        img_context_token_id)
+    if vit_gather_idx is not None:
+        input_embeds = scatter_image_embeds_by_index(
+            input_embeds, vit_embeds, vit_gather_idx)
+    else:
+        input_embeds = scatter_image_embeds(
+            input_embeds, input_ids, vit_embeds, image_flags,
+            img_context_token_id)
 
     logits, _ = internlm2.llm_forward(
         params["llm"], cfg.llm,
         inputs_embeds=input_embeds,
         rope_pos_ids=rope_pos_ids,
         segment_ids=segment_ids,
+        positions=token_positions,
         attn_impl=attn_impl,
         remat=remat,
     )
 
     loss = None
-    if labels is not None:
+    if targets is not None:
+        loss = cross_entropy_loss_preshifted(
+            logits, targets, loss_weight, loss_weight_sum)
+    elif labels is not None:
         loss = cross_entropy_loss(logits, labels, loss_weight,
                                   loss_weight_sum, cfg.llm.vocab_size)
     return VLMOutput(loss=loss, logits=logits)
+
+
+def cross_entropy_loss_preshifted(logits, targets, loss_weight=None,
+                                  loss_weight_sum=None):
+    """Elementwise CE against host-pre-shifted targets (targets[t] is the
+    label for position t, i.e. original labels[t+1]) — required under
+    sequence sharding where logits[:, :-1] would cross shard boundaries and
+    zigzag layouts where memory order != global order."""
+    valid = targets != -100
+    safe = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    token_loss = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    token_loss = jnp.where(valid, token_loss, 0.0)
+    if loss_weight is not None:
+        w = loss_weight.astype(jnp.float32) * valid
+        wsum = loss_weight_sum if loss_weight_sum is not None else jnp.sum(w)
+        return jnp.sum(token_loss * w) / jnp.maximum(wsum, 1e-8)
+    return jnp.sum(token_loss) / jnp.maximum(jnp.sum(valid), 1)
 
 
 def cross_entropy_loss(logits, labels, loss_weight=None, loss_weight_sum=None,

@@ -364,8 +364,17 @@ def flash_attention(
     statics = AttnStatics(causal=causal, scale=float(scale),
                           block_q=block_q, block_k=block_k, impl=impl,
                           ordered=ordered, interpret=interpret)
-    return _flash(statics, q, k, v,
-                  q_segment_ids.astype(jnp.int32),
-                  kv_segment_ids.astype(jnp.int32),
-                  q_positions.astype(jnp.int32),
-                  kv_positions.astype(jnp.int32))
+    args = (q, k, v,
+            q_segment_ids.astype(jnp.int32),
+            kv_segment_ids.astype(jnp.int32),
+            q_positions.astype(jnp.int32),
+            kv_positions.astype(jnp.int32))
+
+    from v2pe_tpu.parallel import context as parallel_context
+
+    ctx = parallel_context.current()
+    if ctx is not None:
+        from v2pe_tpu.parallel.shard_attn import sharded_flash_attention
+
+        return sharded_flash_attention(ctx, statics, *args)
+    return _flash(statics, *args)

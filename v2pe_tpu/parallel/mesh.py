@@ -75,12 +75,29 @@ def _spec_for_path(path: str, ndim: int) -> P:
     return P(*([None] * ndim))
 
 
+def _fit_spec(spec: P, shape, mesh: Mesh) -> P:
+    """Drop sharding on dims the mesh axis doesn't divide (e.g. the odd
+    92553-entry vocab can't split over 'tensor')."""
+    out = []
+    for dim, axes in zip(shape, tuple(spec)):
+        if axes is None:
+            out.append(None)
+            continue
+        ax_tuple = axes if isinstance(axes, tuple) else (axes,)
+        size = 1
+        for a in ax_tuple:
+            size *= mesh.shape[a]
+        out.append(axes if dim % size == 0 else None)
+    return P(*out)
+
+
 def param_sharding(params, mesh: Mesh):
     """NamedSharding pytree for a param pytree (path-based rules)."""
 
     def visit(path, leaf):
         path_str = "/".join(str(getattr(k, "key", k)) for k in path)
-        return NamedSharding(mesh, _spec_for_path(path_str, leaf.ndim))
+        spec = _spec_for_path(path_str, leaf.ndim)
+        return NamedSharding(mesh, _fit_spec(spec, leaf.shape, mesh))
 
     return jax.tree_util.tree_map_with_path(visit, params)
 

@@ -1,0 +1,106 @@
+"""pjit-compiled training step.
+
+Replaces the reference's HF Trainer + DeepSpeed ZeRO loop
+(internvl_chat_finetune.py:1413-1452, zero_stage{1,3}_config.json): parameters
+and optimizer state are sharded by the mesh rules (parallel/mesh.py), the
+batch is sharded over (data, fsdp) x seq, gradients reduce automatically via
+GSPMD, and ring attention engages through the ambient ShardingContext when
+the seq axis is >1.
+
+Batch contract (all device arrays; produced by data/packing.py):
+  input_ids (B,S) i32 | rope_pos_ids (B,S) f32 | token_positions (B,S) i32
+  segment_ids (B,S) i32 | targets (B,S) i32 (pre-shifted, -100 ignore)
+  loss_weight (B,S) f32 | pixel_values (T,3,sz,sz) | image_flags (T,) i32
+  vit_gather_idx (B,S) i32 (-1 = text token)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from v2pe_tpu.core.config import VLMConfig
+from v2pe_tpu.models import internvl_chat
+from v2pe_tpu.parallel import context as pctx
+from v2pe_tpu.parallel.mesh import param_sharding
+
+
+def loss_fn(params, cfg: VLMConfig, batch, img_context_token_id: int,
+            attn_impl: str = "auto", remat: bool = True):
+    out = internvl_chat.forward(
+        params, cfg,
+        input_ids=batch["input_ids"],
+        pixel_values=batch["pixel_values"],
+        image_flags=batch["image_flags"],
+        rope_pos_ids=batch["rope_pos_ids"],
+        img_context_token_id=img_context_token_id,
+        segment_ids=batch["segment_ids"],
+        token_positions=batch["token_positions"],
+        vit_gather_idx=batch.get("vit_gather_idx"),
+        targets=batch["targets"],
+        loss_weight=batch["loss_weight"],
+        loss_weight_sum=batch.get("loss_weight_sum"),
+        attn_impl=attn_impl,
+        remat=remat,
+    )
+    return out.loss
+
+
+def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation,
+                    mesh: Optional[Mesh], img_context_token_id: int,
+                    attn_impl: str = "auto", remat: bool = True,
+                    donate: bool = True):
+    """Returns step(params, opt_state, batch) -> (params, opt_state, metrics).
+
+    When `mesh` is given the step is jitted with sharded in/out specs and a
+    ShardingContext is active during tracing so attention routes through
+    shard_map (ring over 'seq' when sized)."""
+
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, cfg, batch, img_context_token_id, attn_impl, remat)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        gnorm = optax.global_norm(grads)
+        return params, opt_state, {"loss": loss, "grad_norm": gnorm}
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+    ctx = pctx.ShardingContext(mesh=mesh)
+
+    def step_with_ctx(params, opt_state, batch):
+        with pctx.use_sharding(ctx):
+            return step(params, opt_state, batch)
+
+    return jax.jit(step_with_ctx, donate_argnums=(0, 1) if donate else ())
+
+
+def shard_params(params, mesh: Mesh):
+    """Device-put params onto the mesh with the framework sharding rules."""
+    shardings = param_sharding(params, mesh)
+    return jax.device_put(params, shardings)
+
+
+def init_opt_state(tx, params, mesh: Optional[Mesh] = None):
+    if mesh is None:
+        return tx.init(params)
+    shardings = param_sharding(params, mesh)
+
+    def _init(p):
+        return tx.init(p)
+
+    # shard optimizer state like its matching parameter (moments mirror
+    # param shapes; scalars replicate)
+    out_shardings = jax.eval_shape(_init, params)
+
+    def sharding_for(leaf_shape):
+        return None
+
+    init_jit = jax.jit(_init, in_shardings=(shardings,))
+    return init_jit(params)
