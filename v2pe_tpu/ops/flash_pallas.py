@@ -66,12 +66,12 @@ def _kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
             preferred_element_type=jnp.float32)       # (bq, bk)
 
         # 2D-only index math (TPU Mosaic prefers >=2D iota/broadcasts).
-        seg_q = jnp.swapaxes(seg_q_ref[...], 0, 1)    # (bq, 1)
-        seg_k = seg_k_ref[...]                        # (1, bk)
+        seg_q = jnp.swapaxes(seg_q_ref[0], 0, 1)      # (bq, 1)
+        seg_k = seg_k_ref[0]                          # (1, bk)
         mask = (seg_q == seg_k) & (seg_q != 0)
         if causal:
-            pos_q = jnp.swapaxes(pos_q_ref[...], 0, 1)  # (bq, 1)
-            pos_k = pos_k_ref[...]                      # (1, bk)
+            pos_q = jnp.swapaxes(pos_q_ref[0], 0, 1)  # (bq, 1)
+            pos_k = pos_k_ref[0]                      # (1, bk)
             mask &= pos_q >= pos_k
 
         s = jnp.where(mask, s, NEG_INF)
@@ -141,10 +141,13 @@ def flash_attention_fwd_pallas(
     qt = padax(jnp.swapaxes(q, 1, 2), 2, Sq_p)          # (B,Hq,Sq,D)
     kt = padax(jnp.swapaxes(k, 1, 2), 2, Sk_p)          # (B,Hkv,Sk,D)
     vt = padax(jnp.swapaxes(v, 1, 2), 2, Sk_p)
-    seg_q = padax(seg_q, 1, Sq_p)                       # pad -> segment 0
-    seg_k = padax(seg_k, 1, Sk_p)
-    pos_q = padax(pos_q, 1, Sq_p, value=-1)
-    pos_k = padax(pos_k, 1, Sk_p, value=2**30)
+    # (B, 1, S) layout: Mosaic requires the last-two block dims to divide
+    # (8, 128) or equal the array dims — (1, bq) blocks of a (B, S) array
+    # are rejected on hardware, (1, 1, bq) blocks of (B, 1, S) are fine.
+    seg_q = padax(seg_q, 1, Sq_p)[:, None, :]           # pad -> segment 0
+    seg_k = padax(seg_k, 1, Sk_p)[:, None, :]
+    pos_q = padax(pos_q, 1, Sq_p, value=-1)[:, None, :]
+    pos_k = padax(pos_k, 1, Sk_p, value=2**30)[:, None, :]
 
     if causal and ordered:
         # Clamp dead kv blocks onto the diagonal block: no extra DMA.
@@ -154,13 +157,13 @@ def flash_attention_fwd_pallas(
 
         def kv_vec_index(b, h, i, j):
             jc = jnp.minimum(j, jax.lax.div(i * bq + bq - 1, bk))
-            return (b, jc)
+            return (b, 0, jc)
     else:
         def kv_index(b, h, i, j):
             return (b, jax.lax.div(h, G), j, 0)
 
         def kv_vec_index(b, h, i, j):
-            return (b, j)
+            return (b, 0, j)
 
     grid = (B, Hq, nq, nk)
     kernel = functools.partial(
@@ -171,10 +174,10 @@ def flash_attention_fwd_pallas(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq), lambda b, h, i, j: (b, i)),          # seg_q
-            pl.BlockSpec((1, bk), kv_vec_index),                        # seg_k
-            pl.BlockSpec((1, bq), lambda b, h, i, j: (b, i)),          # pos_q
-            pl.BlockSpec((1, bk), kv_vec_index),                        # pos_k
+            pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, 0, i)),    # seg_q
+            pl.BlockSpec((1, 1, bk), kv_vec_index),                     # seg_k
+            pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, 0, i)),    # pos_q
+            pl.BlockSpec((1, 1, bk), kv_vec_index),                     # pos_k
             pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
             pl.BlockSpec((1, 1, bk, D), kv_index),
             pl.BlockSpec((1, 1, bk, D), kv_index),
