@@ -1,0 +1,171 @@
+"""End-to-end host data pipeline: jsonl dataset -> tiling -> tokenize ->
+V2PE pos ids -> packing -> static device batch -> model forward."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from v2pe_tpu.data.datasets import SupervisedDataset, build_datasets
+from v2pe_tpu.data.packing import PackedSampleIterator, collate_rows, \
+    len2weight
+
+from .test_data_pipeline import _toy_tokenizer
+
+
+@pytest.fixture(scope="module")
+def toy_dataset(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("ds")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    ann = root / "train.jsonl"
+    with open(ann, "w") as f:
+        for i in range(12):
+            if i % 3 == 2:  # pure text
+                item = {"id": i, "conversations": [
+                    {"from": "human", "value": f"What is {i} plus {i}?"},
+                    {"from": "gpt", "value": f"The answer is {2 * i}."},
+                ]}
+            else:
+                w, h = rng.choice([100, 300, 500]), rng.choice([100, 200])
+                path = f"images/{i}.png"
+                Image.fromarray(
+                    rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+                ).save(root / path)
+                item = {"id": i, "image": path, "conversations": [
+                    {"from": "human", "value": "<image>\nDescribe."},
+                    {"from": "gpt", "value": f"A picture number {i}."},
+                ]}
+            f.write(json.dumps(item) + "\n")
+    meta = {"toy": {"root": str(root) + "/", "annotation": str(ann),
+                    "repeat_time": 1, "data_augment": False}}
+    meta_path = root / "meta.json"
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return str(meta_path)
+
+
+@pytest.fixture(scope="module")
+def tokenizer():
+    return _toy_tokenizer()
+
+
+def test_dataset_items(toy_dataset, tokenizer):
+    dsets = build_datasets(
+        toy_dataset, tokenizer, image_size=56,  # tiny tiles for speed
+        num_image_token=4,  # (56/14)^2 * 0.25
+        max_dynamic_patch=6, rope_pos_id_stride=2)
+    ds = dsets["toy"]
+    assert len(ds) == 12
+    s0 = ds[0]  # image sample
+    assert s0["pixel_values"].shape[1:] == (3, 56, 56)
+    ctx_id = tokenizer.convert_tokens_to_ids("<IMG_CONTEXT>")
+    n_ctx = (s0["input_ids"] == ctx_id).sum()
+    assert n_ctx == 4 * sum(s0["num_tiles"])
+    assert s0["pos_ids"].dtype == np.float32
+    # visual span advances by stride/num_image_token = 0.5
+    img_start = np.where(
+        s0["input_ids"] == tokenizer.convert_tokens_to_ids("<img>"))[0][0]
+    assert s0["pos_ids"][img_start + 1] - s0["pos_ids"][img_start] == 0.5
+
+    s2 = ds[2]  # text sample
+    assert s2["image_flags"].sum() == 0
+    np.testing.assert_array_equal(
+        s2["pos_ids"], np.arange(len(s2["input_ids"]), dtype=np.float32))
+
+
+def test_packing_and_collate(toy_dataset, tokenizer):
+    dsets = build_datasets(
+        toy_dataset, tokenizer, image_size=56, num_image_token=4,
+        max_dynamic_patch=6, rope_pos_id_stride=2)
+    ctx_id = tokenizer.convert_tokens_to_ids("<IMG_CONTEXT>")
+    packer = PackedSampleIterator(
+        dsets, max_tokens=256, max_tiles_per_row=8, seed=1,
+        img_context_token_id=ctx_id)
+    it = iter(packer)
+    rows = [next(it) for _ in range(2)]
+    assert all(len(r) >= 1 for r in rows)
+    batch = collate_rows(rows, max_tokens=256, max_tiles=16,
+                         img_context_token_id=ctx_id, num_image_token=4)
+    B, S = batch["input_ids"].shape
+    assert (B, S) == (2, 256)
+    assert batch["pixel_values"].shape[0] == 16
+    # gather idx consistency: every ctx token points at a distinct vit row
+    sel = batch["vit_gather_idx"][batch["vit_gather_idx"] >= 0]
+    assert len(np.unique(sel)) == len(sel)
+    # segment ids: contiguous per sample, 0 for padding
+    assert batch["segment_ids"].max() >= 1
+    # targets never cross segments
+    seg, tgt = batch["segment_ids"], batch["targets"]
+    cross = (seg[:, :-1] != seg[:, 1:]) & (tgt[:, :-1] != -100)
+    assert not cross.any()
+
+
+def test_packer_resume_state(toy_dataset, tokenizer):
+    dsets = build_datasets(
+        toy_dataset, tokenizer, image_size=56, num_image_token=4,
+        max_dynamic_patch=6, rope_pos_id_stride=2)
+    ctx_id = tokenizer.convert_tokens_to_ids("<IMG_CONTEXT>")
+
+    def make():
+        return PackedSampleIterator(dsets, max_tokens=256,
+                                    max_tiles_per_row=8, seed=7,
+                                    img_context_token_id=ctx_id)
+
+    p1 = make()
+    it1 = iter(p1)
+    next(it1)
+    state = p1.state_dict()
+    a = next(it1)
+
+    p2 = make()
+    p2.load_state_dict(state)
+    b = next(iter(p2))
+    assert [len(x["input_ids"]) for x in a] == \
+        [len(x["input_ids"]) for x in b]
+    np.testing.assert_array_equal(a[0]["input_ids"], b[0]["input_ids"])
+
+
+def test_len2weight():
+    assert len2weight(100, "token") == 1.0
+    assert len2weight(100, "sample") == 0.01
+    assert len2weight(100, "square") == 0.1
+    assert len2weight(0, "token") == 0.0
+
+
+def test_collated_batch_trains(toy_dataset, tokenizer):
+    """The packed batch flows through the debug model with finite loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from v2pe_tpu.core.config import LLMConfig, VLMConfig, VisionConfig
+    from v2pe_tpu.models.params import init_vlm_params
+    from v2pe_tpu.train.train_step import loss_fn
+
+    cfg = VLMConfig(
+        vision=VisionConfig(hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            image_size=56, patch_size=14),
+        llm=LLMConfig(vocab_size=len(tokenizer), hidden_size=32,
+                      intermediate_size=64, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2),
+    )
+    assert cfg.num_image_token == 4
+    dsets = build_datasets(
+        toy_dataset, tokenizer, image_size=56, num_image_token=4,
+        max_dynamic_patch=6, rope_pos_id_stride=2)
+    ctx_id = tokenizer.convert_tokens_to_ids("<IMG_CONTEXT>")
+    packer = PackedSampleIterator(dsets, max_tokens=256, max_tiles_per_row=8,
+                                  seed=3, img_context_token_id=ctx_id)
+    it = iter(packer)
+    batch = collate_rows([next(it), next(it)], max_tokens=256, max_tiles=16,
+                         img_context_token_id=ctx_id, num_image_token=4)
+    batch.pop("statistics")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    loss = loss_fn(params, cfg, batch, ctx_id, attn_impl="jnp", remat=False)
+    assert np.isfinite(float(loss))
