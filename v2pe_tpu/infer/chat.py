@@ -1,0 +1,163 @@
+"""HF-compatible chat API surface.
+
+Mirrors ``InternVLChatModel.chat`` / ``batch_chat``
+(modeling_internvl_chat.py:386-563): conversation templating with history,
+'<image>' -> '<img>' + <IMG_CONTEXT>*num_image_token*tiles + '</img>'
+expansion (:472-474), V2PE position ids via the shared builder (:483-531),
+dynamic tiling, and decode through infer/generate.py."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from v2pe_tpu.core.config import VLMConfig
+from v2pe_tpu.data.constants import (IMG_CONTEXT_TOKEN, IMG_END_TOKEN,
+                                     IMG_START_TOKEN)
+from v2pe_tpu.data.conversation import get_conv_template
+from v2pe_tpu.data.tiling import dynamic_preprocess
+from v2pe_tpu.data.transforms import build_transform
+from v2pe_tpu.infer.generate import GenerationConfig, generate
+from v2pe_tpu.positional import build_v2pe_pos_ids
+
+
+class ChatModel:
+    """Stateless-weights chat wrapper: holds params/config/tokenizer and
+    exposes chat()/batch_chat() with reference-compatible semantics."""
+
+    def __init__(self, params, cfg: VLMConfig, tokenizer,
+                 attn_impl: str = "auto"):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.attn_impl = attn_impl
+        self.img_context_token_id = tokenizer.convert_tokens_to_ids(
+            IMG_CONTEXT_TOKEN)
+        self.img_start_id = tokenizer.convert_tokens_to_ids(IMG_START_TOKEN)
+        self.img_end_id = tokenizer.convert_tokens_to_ids(IMG_END_TOKEN)
+        self.conv_template = get_conv_template(cfg.template)
+        self.system_message = self.conv_template.system_message
+
+    # ------------------------------------------------------------- images
+    def load_pixels(self, image, max_num: Optional[int] = None):
+        """PIL image -> (tiles (n,3,sz,sz) float32, num_tiles)."""
+        sz = self.cfg.force_image_size or self.cfg.vision.image_size
+        tiles = dynamic_preprocess(
+            image, min_num=self.cfg.min_dynamic_patch,
+            max_num=max_num or self.cfg.max_dynamic_patch,
+            image_size=sz, use_thumbnail=self.cfg.use_thumbnail,
+        ) if self.cfg.dynamic_image_size else [image]
+        transform = build_transform(is_train=False, input_size=sz)
+        return np.stack([transform(t) for t in tiles]), len(tiles)
+
+    # -------------------------------------------------------------- prompt
+    def build_query(self, question: str, num_patches_list: Sequence[int],
+                    history=None) -> str:
+        conv = self.conv_template.copy()
+        conv.system_message = self.system_message
+        for old_q, old_a in (history or []):
+            conv.append_message(conv.roles[0], old_q)
+            conv.append_message(conv.roles[1], old_a)
+        conv.append_message(conv.roles[0], question)
+        conv.append_message(conv.roles[1], None)
+        query = conv.get_prompt()
+        for num_patches in num_patches_list:
+            tokens = (IMG_START_TOKEN
+                      + IMG_CONTEXT_TOKEN * self.cfg.num_image_token
+                      * num_patches + IMG_END_TOKEN)
+            query = query.replace("<image>", tokens, 1)
+        return query
+
+    # ---------------------------------------------------------------- chat
+    def chat(
+        self,
+        pixel_values: Optional[np.ndarray],  # (T,3,sz,sz) or None
+        question: str,
+        generation_config: Optional[GenerationConfig] = None,
+        history: Optional[List[Tuple[str, str]]] = None,
+        return_history: bool = False,
+        num_patches_list: Optional[Sequence[int]] = None,
+        rope_pos_id_version: Optional[str] = None,
+        rope_pos_id_stride: Optional[int] = None,
+        verbose: bool = False,
+    ):
+        import jax.numpy as jnp
+
+        if num_patches_list is None:
+            num_patches_list = [pixel_values.shape[0]] \
+                if pixel_values is not None else []
+        # the '<image>' marker lives in the question so history keeps it
+        # across turns (modeling_internvl_chat.py:446-448)
+        if history is None and pixel_values is not None \
+                and "<image>" not in question:
+            question = "<image>\n" + question
+        query = self.build_query(question, num_patches_list, history)
+        enc = self.tokenizer(query)
+        ids = np.asarray(enc["input_ids"], np.int64)
+        mask = np.ones_like(ids)
+
+        version = rope_pos_id_version or self.cfg.rope_pos_id_version
+        stride = rope_pos_id_stride or self.cfg.rope_pos_id_stride
+        if num_patches_list and version != "default":
+            pos = build_v2pe_pos_ids(
+                ids, mask, num_patches_list,
+                img_start_id=self.img_start_id, img_end_id=self.img_end_id,
+                num_image_token=self.cfg.num_image_token,
+                version=version, stride=stride)
+        else:
+            pos = np.arange(len(ids), dtype=np.float32)
+
+        gc = generation_config or GenerationConfig()
+        gc = dataclasses.replace(
+            gc, eos_token_ids=tuple(self.conv_template.stop_token_ids))
+
+        if pixel_values is None:
+            sz = self.cfg.force_image_size or self.cfg.vision.image_size
+            pixel_values = np.zeros((1, 3, sz, sz), np.float32)
+            flags = np.zeros((1,), np.int32)
+        else:
+            flags = np.ones((pixel_values.shape[0],), np.int32)
+
+        tokens, _ = generate(
+            self.params, self.cfg, gc,
+            jnp.asarray(ids[None], jnp.int32),
+            jnp.asarray([len(ids)], jnp.int32),
+            jnp.asarray(pos[None].astype(np.float32)),
+            jnp.asarray(pixel_values,
+                        self.params["llm"]["tok_embeddings"].dtype),
+            jnp.asarray(flags),
+            self.img_context_token_id,
+            attn_impl=self.attn_impl,
+        )
+        response = self._decode(np.asarray(tokens[0]))
+        history = list(history or []) + [(question, response)]
+        if verbose:
+            print(f"{query!r} -> {response!r}")
+        if return_history:
+            return response, history
+        return response
+
+    def batch_chat(self, pixel_values_list, questions,
+                   generation_config=None, num_patches_lists=None, **kw):
+        """No-history batched chat (modeling_internvl_chat.py:386-432) —
+        loops chat() per item (jit caches by shape bucket)."""
+        out = []
+        for i, q in enumerate(questions):
+            pv = pixel_values_list[i] if pixel_values_list else None
+            npl = num_patches_lists[i] if num_patches_lists else None
+            out.append(self.chat(pv, q, generation_config,
+                                 num_patches_list=npl, **kw))
+        return out
+
+    def _decode(self, token_ids: np.ndarray) -> str:
+        stop = set(self.conv_template.stop_token_ids)
+        keep = []
+        for t in token_ids:
+            if int(t) in stop or int(t) == 0:
+                break
+            keep.append(int(t))
+        text = self.tokenizer.decode(keep, skip_special_tokens=True)
+        sep = self.conv_template.sep
+        return text.split(sep)[0].strip()

@@ -1,0 +1,136 @@
+"""Autoregressive generation with a static KV cache, fully inside jit.
+
+Replaces HF ``generate`` + the reference's tuple-concat KV cache
+(modeling_internlm2.py:599-604, 1978-2017): prefill fills a preallocated
+cache, then a ``lax.while_loop`` decodes token-by-token on device (no
+host-device ping-pong per token — essential both for TPU efficiency and for
+this session's high-latency device tunnel).
+
+V2PE decode-time positions: generated text continues at INTEGER stride from
+the (possibly fractional) prompt maximum (prepare_inputs_for_generation,
+modeling_internlm2.py:2000-2002)."""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from v2pe_tpu.core.config import VLMConfig
+from v2pe_tpu.models import internlm2, internvl_chat
+from v2pe_tpu.models.internlm2 import KVCache
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int = 256
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = 0
+    eos_token_ids: Tuple[int, ...] = ()
+
+
+def _sample(logits, gc: GenerationConfig, key):
+    if not gc.do_sample or gc.temperature == 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / gc.temperature
+    if gc.top_k > 0:
+        kth = jax.lax.top_k(logits, gc.top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if gc.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < gc.top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "gc", "img_context_token_id",
+                                   "attn_impl"))
+def generate(
+    params,
+    cfg: VLMConfig,
+    gc: GenerationConfig,
+    input_ids: jnp.ndarray,        # (B, S) int32, right-padded with pad_id
+    prompt_lengths: jnp.ndarray,   # (B,) int32 true prompt lengths
+    rope_pos_ids: jnp.ndarray,     # (B, S) float32 V2PE prompt positions
+    pixel_values: jnp.ndarray,     # (T, 3, sz, sz)
+    image_flags: jnp.ndarray,      # (T,)
+    img_context_token_id: int,
+    rng: Optional[jax.Array] = None,
+    attn_impl: str = "auto",
+):
+    """Greedy/sampling decode. Returns (tokens (B, max_new), num_generated).
+
+    Right-padded batched prompts are handled through per-row positions and a
+    kv segment mask derived from prompt_lengths."""
+    B, S = input_ids.shape
+    llm = params["llm"]
+    dtype = llm["tok_embeddings"].dtype
+    max_len = S + gc.max_new_tokens
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    # ---- prefill: scatter ViT features, run with cache
+    embeds = llm["tok_embeddings"][input_ids]
+    vit_embeds = internvl_chat.extract_feature(params, cfg, pixel_values,
+                                               attn_impl=attn_impl)
+    embeds = internvl_chat.scatter_image_embeds(
+        embeds, input_ids, vit_embeds, image_flags, img_context_token_id)
+
+    cache = KVCache.zeros(cfg.llm, B, max_len, dtype=dtype)
+    # per-row valid prompt mask: right-padded slots hold garbage keys
+    arange = jnp.arange(S, dtype=jnp.int32)[None, :]
+    seg = jnp.where(arange < prompt_lengths[:, None], 1, 0)
+    slot = jnp.arange(max_len, dtype=jnp.int32)[None, :]
+
+    def kv_valid_at(t):
+        """valid cache slots once t decode tokens are written."""
+        return ((slot < prompt_lengths[:, None]) |
+                ((slot >= S) & (slot < S + t)))
+
+    logits, cache = internlm2.llm_forward(
+        llm, cfg.llm, inputs_embeds=embeds, rope_pos_ids=rope_pos_ids,
+        segment_ids=seg, attn_impl=attn_impl, kv_cache=cache,
+        kv_valid=kv_valid_at(0))
+    last_logits = jnp.take_along_axis(
+        logits, (prompt_lengths[:, None, None] - 1), axis=1)[:, 0]
+
+    # decode-time integer position advance from the fractional prompt max
+    last_pos = jnp.take_along_axis(rope_pos_ids,
+                                   (prompt_lengths[:, None] - 1), axis=1)[:, 0]
+
+    eos = jnp.asarray(gc.eos_token_ids, jnp.int32) if gc.eos_token_ids \
+        else jnp.zeros((0,), jnp.int32)
+
+    def cond(state):
+        t, _, _, _, done, _, _ = state
+        return (t < gc.max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        t, tok, pos, cache, done, out, key = state
+        key, sub = jax.random.split(key)
+        emb = llm["tok_embeddings"][tok][:, None, :]
+        logits, cache = internlm2.llm_forward(
+            llm, cfg.llm, inputs_embeds=emb,
+            rope_pos_ids=pos[:, None],
+            attn_impl=attn_impl, kv_cache=cache,
+            kv_valid=kv_valid_at(t))
+        nxt = _sample(logits[:, -1], gc, sub).astype(jnp.int32)
+        nxt = jnp.where(done, 0, nxt)
+        out = out.at[:, t].set(nxt)
+        done = done | jnp.isin(nxt, eos) if eos.size else done
+        return (t + 1, nxt, pos + 1.0, cache, done, out, key)
+
+    tok0 = _sample(last_logits, gc, rng).astype(jnp.int32)
+    out0 = jnp.zeros((B, gc.max_new_tokens), jnp.int32).at[:, 0].set(tok0)
+    done0 = jnp.isin(tok0, eos) if eos.size else jnp.zeros((B,), bool)
+    state = (jnp.int32(1), tok0, last_pos + 1.0, cache, done0, out0, rng)
+    t, _, _, _, _, out, _ = jax.lax.while_loop(cond, body, state)
+    return out, t

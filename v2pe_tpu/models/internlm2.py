@@ -75,10 +75,12 @@ def attention_forward(
     attn_impl: str,
     kv_cache_layer: Optional[tuple] = None,
     cache_length: Optional[jnp.ndarray] = None,
+    kv_valid: Optional[jnp.ndarray] = None,
 ):
     """One attention block. If kv_cache_layer=(k_buf, v_buf) is given, new k/v
     are written at cache_length and attention runs over the whole buffer
-    (decode/prefill-with-cache path)."""
+    (decode/prefill-with-cache path). kv_valid (B, max_len) masks cache slots
+    (right-padded ragged prompts write garbage keys at pad slots)."""
     B, S, D = x.shape
     qkv = _dot(x, p["wqkv_kernel"])
     if cfg.bias:
@@ -98,7 +100,10 @@ def attention_forward(
         max_len = k_buf.shape[1]
         kv_pos = jnp.broadcast_to(jnp.arange(max_len, dtype=jnp.int32),
                                   (B, max_len))
-        kv_seg = jnp.where(kv_pos < cache_length + S, 1, 0)
+        if kv_valid is not None:
+            kv_seg = kv_valid.astype(jnp.int32)
+        else:
+            kv_seg = jnp.where(kv_pos < cache_length + S, 1, 0)
         q_pos = cache_length + jnp.broadcast_to(
             jnp.arange(S, dtype=jnp.int32), (B, S))
         out = flash_attention(
@@ -128,12 +133,13 @@ def mlp_forward(p: dict, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def layer_forward(p, cfg: LLMConfig, x, cos, sin, *, segment_ids, positions,
-                  attn_impl, kv_cache_layer=None, cache_length=None):
+                  attn_impl, kv_cache_layer=None, cache_length=None,
+                  kv_valid=None):
     h = rms_norm(x, p["attention_norm"], cfg.rms_norm_eps)
     attn_out, new_cache = attention_forward(
         p, cfg, h, cos, sin, segment_ids=segment_ids, positions=positions,
         attn_impl=attn_impl, kv_cache_layer=kv_cache_layer,
-        cache_length=cache_length)
+        cache_length=cache_length, kv_valid=kv_valid)
     x = x + attn_out
     h = rms_norm(x, p["ffn_norm"], cfg.rms_norm_eps)
     x = x + mlp_forward(p, h)
@@ -151,6 +157,7 @@ def llm_forward(
     positions: Optional[jnp.ndarray] = None,  # (B, S) int32 token indices
     attn_impl: str = "auto",
     kv_cache: Optional[KVCache] = None,
+    kv_valid: Optional[jnp.ndarray] = None,
     remat: bool = False,
     return_hidden: bool = False,
 ):
@@ -189,7 +196,8 @@ def llm_forward(
             x, (kb, vb) = layer_forward(
                 lp, cfg, x, cos, sin, segment_ids=segment_ids,
                 positions=positions, attn_impl=attn_impl,
-                kv_cache_layer=(kb, vb), cache_length=kv_cache.length)
+                kv_cache_layer=(kb, vb), cache_length=kv_cache.length,
+                kv_valid=kv_valid)
             return x, (kb, vb)
 
         x, (k_new, v_new) = jax.lax.scan(
