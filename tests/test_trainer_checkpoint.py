@@ -1,0 +1,93 @@
+"""Trainer loop + orbax checkpoint/resume tests (tiny model, CPU)."""
+
+import logging
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from v2pe_tpu.core import checkpoint as ckpt_lib
+from v2pe_tpu.core.config import LLMConfig, VLMConfig, VisionConfig
+from v2pe_tpu.data.datasets import build_datasets
+from v2pe_tpu.data.packing import PackedSampleIterator
+from v2pe_tpu.models.params import init_vlm_params
+from v2pe_tpu.train.optimizer import TrainConfig, build_optimizer
+from v2pe_tpu.train.trainer import RunConfig, train
+
+from .test_data_pipeline import _toy_tokenizer
+from .test_datasets_packing import tokenizer, toy_dataset  # fixtures
+
+
+def _cfg(vocab):
+    return VLMConfig(
+        vision=VisionConfig(hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            image_size=56, patch_size=14),
+        llm=LLMConfig(vocab_size=vocab, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2),
+        rope_pos_id_stride=2,
+    )
+
+
+def test_train_loop_with_checkpoint_resume(toy_dataset, tokenizer, tmp_path):
+    cfg = _cfg(len(tokenizer))
+    ctx_id = tokenizer.convert_tokens_to_ids("<IMG_CONTEXT>")
+
+    def make_packer():
+        dsets = build_datasets(
+            toy_dataset, tokenizer, image_size=56, num_image_token=4,
+            max_dynamic_patch=6, rope_pos_id_stride=2)
+        return PackedSampleIterator(dsets, max_tokens=192,
+                                    max_tiles_per_row=8, seed=5,
+                                    img_context_token_id=ctx_id)
+
+    run = RunConfig(output_dir=str(tmp_path / "out"), max_steps=4,
+                    save_steps=2, save_total_limit=2, log_steps=1,
+                    max_packed_tokens=192, max_tiles=8)
+    tc = TrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=4)
+
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    p1, _, _ = train(cfg, params, make_packer(), run, tc,
+                     img_context_token_id=ctx_id, attn_impl="jnp",
+                     resume=False)
+
+    ckpts = ckpt_lib.list_checkpoints(run.output_dir)
+    assert ckpts == [2, 4]
+
+    # resume from step 2: run to 4 again, final params finite
+    params2 = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    # drop the step-4 checkpoint so resume picks step 2
+    import shutil
+
+    shutil.rmtree(os.path.join(run.output_dir, "step_00000004"))
+    p2, _, step = train(cfg, params2, make_packer(), run, tc,
+                        img_context_token_id=ctx_id, attn_impl="jnp",
+                        resume=True)
+    flat1 = jax.tree.leaves(p1)
+    flat2 = jax.tree.leaves(p2)
+    for a, b in zip(flat1, flat2):
+        assert np.isfinite(np.asarray(b)).all()
+    # checkpoints pruned to the save_total_limit
+    assert len(ckpt_lib.list_checkpoints(run.output_dir)) <= 2
+
+
+def test_checkpoint_roundtrip_exact(tmp_path):
+    cfg = _cfg(300)
+    params = init_vlm_params(jax.random.PRNGKey(1), cfg)
+    tc = TrainConfig()
+    tx = build_optimizer(tc, params)
+    opt_state = tx.init(params)
+
+    path = ckpt_lib.save_checkpoint(str(tmp_path), 7, params, opt_state,
+                                    data_state={"cursors": {"a": 3},
+                                                "epochs": {"a": 0},
+                                                "rng_state": (1, (2, 3), None),
+                                                "pushback_ref": ("a", 5)})
+    p2, o2, step, ds = ckpt_lib.restore_checkpoint(path, params, opt_state)
+    assert step == 7
+    assert ds["cursors"] == {"a": 3}
+    assert tuple(ds["pushback_ref"]) == ("a", 5)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,90 @@
+"""Checkpoint / resume via orbax.
+
+Replaces HF Trainer + DeepSpeed checkpointing (internvl_chat_finetune.py:
+1139-1151, 1446-1451; zero-3 gather-on-save): saves sharded params +
+optimizer state + step natively (no gather needed under pjit), plus the
+packed-data iterator state (the reference threads worker-state dicts through
+batches, dataset_packed.py:143-153, 392-398 — ours is an explicit JSON
+sidecar). Auto-resume = latest step dir, with save_total_limit pruning."""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import re
+import shutil
+from typing import Any, Optional
+
+import jax
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def save_checkpoint(ckpt_dir: str, step: int, params, opt_state,
+                    data_state: Optional[dict] = None,
+                    save_total_limit: Optional[int] = None):
+    ocp = _ocp()
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, "params"), params)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, "opt_state"), opt_state)
+    if data_state is not None:
+        # rng state tuples aren't JSON-safe; pickle the sidecar
+        with open(os.path.join(path, "data_state.pkl"), "wb") as f:
+            pickle.dump(data_state, f)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"step": step}, f)
+
+    if save_total_limit:
+        steps = sorted(list_checkpoints(ckpt_dir))
+        for s in steps[:-save_total_limit]:
+            shutil.rmtree(os.path.join(ckpt_dir, f"step_{s:08d}"),
+                          ignore_errors=True)
+    return path
+
+
+def list_checkpoints(ckpt_dir: str):
+    if not os.path.isdir(ckpt_dir):
+        return []
+    out = []
+    for name in os.listdir(ckpt_dir):
+        m = re.fullmatch(r"step_(\d+)", name)
+        if m and os.path.exists(os.path.join(ckpt_dir, name, "meta.json")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    steps = list_checkpoints(ckpt_dir)
+    if not steps:
+        return None
+    return os.path.join(ckpt_dir, f"step_{steps[-1]:08d}")
+
+
+def restore_checkpoint(path: str, params_template, opt_state_template):
+    """Restore with sharding/layout taken from the (possibly sharded)
+    templates (abstract arrays allowed)."""
+    ocp = _ocp()
+    path = os.path.abspath(path)
+
+    def _restore(sub, template):
+        with ocp.PyTreeCheckpointer() as ckptr:
+            return ckptr.restore(os.path.join(path, sub),
+                                 item=template)
+
+    params = _restore("params", params_template)
+    opt_state = _restore("opt_state", opt_state_template)
+    data_state = None
+    ds_path = os.path.join(path, "data_state.pkl")
+    if os.path.exists(ds_path):
+        with open(ds_path, "rb") as f:
+            data_state = pickle.load(f)
+    with open(os.path.join(path, "meta.json")) as f:
+        step = json.load(f)["step"]
+    return params, opt_state, step, data_state

@@ -1,0 +1,160 @@
+"""Training orchestration loop.
+
+The analogue of the reference's HF-Trainer-based entry point
+(``internvl/train/internvl_chat_finetune.py:1087-1469``) without the
+monkey-patching: typed configs in, pjit step, orbax checkpoints with data
+resume, host-side packing pipeline with background prefetch."""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+import time
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from v2pe_tpu.core import checkpoint as ckpt_lib
+from v2pe_tpu.core.config import MeshConfig, VLMConfig
+from v2pe_tpu.data.packing import PackedSampleIterator, collate_rows
+from v2pe_tpu.parallel.mesh import make_mesh
+from v2pe_tpu.train.optimizer import TrainConfig, build_optimizer, lr_schedule
+from v2pe_tpu.train.train_step import make_train_step, shard_params
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class RunConfig:
+    output_dir: str = "out"
+    max_steps: int = 1000
+    save_steps: int = 2500
+    save_total_limit: int = 5
+    log_steps: int = 10
+    max_packed_tokens: int = 8192
+    rows_per_batch: int = 1
+    max_tiles: int = 32
+    loss_reduction: str = "token"
+    seed: int = 42
+
+
+class Prefetcher:
+    """Background host thread that packs + collates next batches."""
+
+    def __init__(self, make_batch: Callable[[], dict], depth: int = 2):
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = False
+        self.make_batch = make_batch
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _run(self):
+        while not self._stop:
+            try:
+                self.q.put(self.make_batch(), timeout=1.0)
+            except queue.Full:
+                continue
+            except Exception as e:  # surface pipeline errors to the consumer
+                self.q.put(e)
+                return
+
+    def next(self) -> dict:
+        item = self.q.get()
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def stop(self):
+        self._stop = True
+
+
+def train(
+    cfg: VLMConfig,
+    params,
+    packer: PackedSampleIterator,
+    run: RunConfig,
+    tc: TrainConfig,
+    *,
+    mesh_cfg: Optional[MeshConfig] = None,
+    img_context_token_id: int,
+    attn_impl: str = "auto",
+    resume: bool = True,
+    pixel_dtype=np.float32,
+    metrics_hook: Optional[Callable[[int, dict], None]] = None,
+):
+    """Run the training loop; returns (params, opt_state, step)."""
+    mesh = make_mesh(mesh_cfg) if mesh_cfg and mesh_cfg.num_devices > 1 \
+        else None
+    seq_shards = mesh_cfg.seq if mesh_cfg else 1
+
+    tx = build_optimizer(tc, params)
+    if mesh is not None:
+        params = shard_params(params, mesh)
+    opt_state = tx.init(params)
+    step_fn = make_train_step(cfg, tx, mesh, img_context_token_id,
+                              attn_impl=attn_impl, remat=True)
+
+    start_step = 0
+    if resume:
+        last = ckpt_lib.latest_checkpoint(run.output_dir)
+        if last is not None:
+            params, opt_state, start_step, data_state = \
+                ckpt_lib.restore_checkpoint(last, params, opt_state)
+            if data_state is not None:
+                packer.load_state_dict(data_state)
+            logger.info("resumed from %s at step %d", last, start_step)
+
+    row_iter = iter(packer)
+
+    def make_batch():
+        rows = [next(row_iter) for _ in range(run.rows_per_batch)]
+        batch = collate_rows(
+            rows, max_tokens=run.max_packed_tokens, max_tiles=run.max_tiles,
+            img_context_token_id=img_context_token_id,
+            num_image_token=cfg.num_image_token,
+            loss_reduction=run.loss_reduction, seq_shards=seq_shards,
+            pixel_dtype=pixel_dtype)
+        batch.pop("statistics")
+        return batch
+
+    prefetch = Prefetcher(make_batch)
+    sched = lr_schedule(tc)
+    t_last = time.time()
+    tokens_since = 0
+
+    try:
+        for step in range(start_step, run.max_steps):
+            batch = prefetch.next()
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            params, opt_state, metrics = step_fn(params, opt_state, batch)
+            tokens_since += run.rows_per_batch * run.max_packed_tokens
+
+            if (step + 1) % run.log_steps == 0:
+                loss = float(metrics["loss"])
+                dt = time.time() - t_last
+                tps = tokens_since / max(dt, 1e-9)
+                logger.info(
+                    "step %d loss %.4f grad_norm %.3f lr %.2e tok/s %.0f",
+                    step + 1, loss, float(metrics["grad_norm"]),
+                    float(sched(step + 1)), tps)
+                if metrics_hook:
+                    metrics_hook(step + 1, {
+                        "loss": loss, "tokens_per_sec": tps,
+                        "grad_norm": float(metrics["grad_norm"])})
+                t_last = time.time()
+                tokens_since = 0
+
+            if (step + 1) % run.save_steps == 0 or step + 1 == run.max_steps:
+                path = ckpt_lib.save_checkpoint(
+                    run.output_dir, step + 1, params, opt_state,
+                    data_state=packer.state_dict(),
+                    save_total_limit=run.save_total_limit)
+                logger.info("saved %s", path)
+    finally:
+        prefetch.stop()
+
+    return params, opt_state, run.max_steps
