@@ -1,0 +1,159 @@
+"""Training CLI.
+
+The TPU-native counterpart of
+``python internvl/train/internvl_chat_finetune.py --model_name_or_path ...
+--attn_type ring --chunk_num 8 ...`` (HfArgumentParser of 3 dataclasses,
+internvl_chat_finetune.py:84-319). Flags keep reference names where they
+exist; mesh axes replace launcher/process-group plumbing.
+
+Example:
+  python -m v2pe_tpu.train.cli \
+      --meta_path shell/data/annotation_train_debug.json \
+      --tokenizer internlm/internlm2-chat-1_8b \
+      --output_dir out --max_steps 1000 \
+      --rope_pos_id_version v2pe_fix --rope_pos_id_stride 64 \
+      --max_packed_tokens 32768 --mesh_fsdp 4 --mesh_seq 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax
+import jax.numpy as jnp
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # model
+    p.add_argument("--model_name_or_path", default=None,
+                   help="HF checkpoint dir (safetensors) to convert; "
+                        "random init if omitted")
+    p.add_argument("--model_preset", default="internvl2_2b",
+                   choices=["internvl2_2b", "internvl2_5_8b", "debug_tiny"])
+    p.add_argument("--tokenizer", required=True,
+                   help="HF tokenizer name or path")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    # data
+    p.add_argument("--meta_path", required=True)
+    p.add_argument("--force_image_size", type=int, default=448)
+    p.add_argument("--max_dynamic_patch", type=int, default=12)
+    p.add_argument("--min_dynamic_patch", type=int, default=1)
+    p.add_argument("--use_thumbnail", action="store_true", default=True)
+    p.add_argument("--pad2square", action="store_true", default=False)
+    p.add_argument("--max_packed_tokens", type=int, default=32768)
+    p.add_argument("--max_tiles", type=int, default=64)
+    p.add_argument("--rows_per_batch", type=int, default=1)
+    p.add_argument("--loss_reduction", default="token",
+                   choices=["token", "sample", "square"])
+    # V2PE
+    p.add_argument("--rope_pos_id_version", default="v2pe_fix",
+                   choices=["default", "v2pe_fix", "v2pe_rnd"])
+    p.add_argument("--rope_pos_id_stride", type=int, default=64)
+    # parallelism (replaces --attn_type ring --chunk_num N + DeepSpeed cfg)
+    p.add_argument("--mesh_data", type=int, default=1)
+    p.add_argument("--mesh_fsdp", type=int, default=1)
+    p.add_argument("--mesh_seq", type=int, default=1,
+                   help="ring-attention shards (reference chunk_num)")
+    p.add_argument("--mesh_tensor", type=int, default=1)
+    # optimizer
+    p.add_argument("--learning_rate", type=float, default=4e-5)
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--warmup_steps", type=int, default=100)
+    p.add_argument("--max_steps", type=int, default=20000)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--vit_lr_scale", type=float, default=1.0)
+    p.add_argument("--vit_layer_decay_rate", type=float, default=1.0)
+    p.add_argument("--grad_accum_steps", type=int, default=1)
+    # run
+    p.add_argument("--output_dir", default="out")
+    p.add_argument("--save_steps", type=int, default=2500)
+    p.add_argument("--save_total_limit", type=int, default=5)
+    p.add_argument("--log_steps", type=int, default=10)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no_resume", action="store_true")
+    return p
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    args = build_argparser().parse_args(argv)
+
+    import dataclasses
+
+    from transformers import AutoTokenizer
+
+    from v2pe_tpu.core import config as cfg_lib
+    from v2pe_tpu.data.constants import IMG_CONTEXT_TOKEN, SPECIAL_TOKENS
+    from v2pe_tpu.data.datasets import build_datasets
+    from v2pe_tpu.data.packing import PackedSampleIterator
+    from v2pe_tpu.models.params import (init_vlm_params,
+                                        load_safetensors_checkpoint)
+    from v2pe_tpu.train.optimizer import TrainConfig
+    from v2pe_tpu.train.trainer import RunConfig, train
+
+    cfg = getattr(cfg_lib, args.model_preset)()
+    cfg = dataclasses.replace(
+        cfg, rope_pos_id_version=args.rope_pos_id_version,
+        rope_pos_id_stride=args.rope_pos_id_stride,
+        max_dynamic_patch=args.max_dynamic_patch,
+        min_dynamic_patch=args.min_dynamic_patch,
+        force_image_size=args.force_image_size)
+
+    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer,
+                                              trust_remote_code=True)
+    tokenizer.add_tokens(list(SPECIAL_TOKENS), special_tokens=True)
+    ctx_id = tokenizer.convert_tokens_to_ids(IMG_CONTEXT_TOKEN)
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.model_name_or_path:
+        params = load_safetensors_checkpoint(args.model_name_or_path, cfg,
+                                             dtype)
+    else:
+        params = init_vlm_params(jax.random.PRNGKey(args.seed), cfg, dtype)
+
+    dsets = build_datasets(
+        args.meta_path, tokenizer,
+        num_image_token=cfg.num_image_token,
+        image_size=args.force_image_size,
+        max_dynamic_patch=args.max_dynamic_patch,
+        min_dynamic_patch=args.min_dynamic_patch,
+        rope_pos_id_version=args.rope_pos_id_version,
+        rope_pos_id_stride=args.rope_pos_id_stride,
+        seed=args.seed)
+    packer = PackedSampleIterator(
+        dsets, max_tokens=args.max_packed_tokens,
+        max_tiles_per_row=args.max_tiles, seed=args.seed,
+        loss_reduction=args.loss_reduction,
+        img_context_token_id=ctx_id)
+
+    mesh_cfg = cfg_lib.MeshConfig(data=args.mesh_data, fsdp=args.mesh_fsdp,
+                                  seq=args.mesh_seq,
+                                  tensor=args.mesh_tensor)
+    run = RunConfig(
+        output_dir=args.output_dir, max_steps=args.max_steps,
+        save_steps=args.save_steps, save_total_limit=args.save_total_limit,
+        log_steps=args.log_steps, max_packed_tokens=args.max_packed_tokens,
+        rows_per_batch=args.rows_per_batch, max_tiles=args.max_tiles,
+        loss_reduction=args.loss_reduction, seed=args.seed)
+    tc = TrainConfig(
+        learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+        warmup_steps=args.warmup_steps, total_steps=args.max_steps,
+        max_grad_norm=args.max_grad_norm, vit_lr_scale=args.vit_lr_scale,
+        vit_layer_decay_rate=args.vit_layer_decay_rate,
+        grad_accum_steps=args.grad_accum_steps)
+
+    import ml_dtypes
+    import numpy as np
+
+    pixel_dtype = (ml_dtypes.bfloat16 if args.dtype == "bfloat16"
+                   else np.float32)
+    train(cfg, params, packer, run, tc, mesh_cfg=mesh_cfg,
+          img_context_token_id=ctx_id, resume=not args.no_resume,
+          pixel_dtype=pixel_dtype)
+
+
+if __name__ == "__main__":
+    main()
