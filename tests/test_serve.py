@@ -1,0 +1,77 @@
+"""Serving worker test: real HTTP round trip with streamed b'\\0'-delimited
+JSON chunks on a tiny model."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from v2pe_tpu.core.config import LLMConfig, VLMConfig, VisionConfig
+from v2pe_tpu.infer.chat import ChatModel
+from v2pe_tpu.models.params import init_vlm_params
+from v2pe_tpu.serve.mm_utils import image_to_base64
+from v2pe_tpu.serve.worker import ModelWorker
+
+from .test_data_pipeline import _toy_tokenizer
+
+
+@pytest.fixture(scope="module")
+def worker_server():
+    import jax
+
+    tokenizer = _toy_tokenizer()
+    cfg = VLMConfig(
+        vision=VisionConfig(hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            image_size=56, patch_size=14),
+        llm=LLMConfig(vocab_size=len(tokenizer), hidden_size=32,
+                      intermediate_size=64, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2),
+        rope_pos_id_stride=2, max_dynamic_patch=4,
+    )
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    model = ChatModel(params, cfg, tokenizer, attn_impl="jnp")
+    worker = ModelWorker(model, model_name="tiny")
+    server = worker.make_server(host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", worker
+    server.shutdown()
+
+
+def test_worker_status(worker_server):
+    url, worker = worker_server
+    req = urllib.request.Request(url + "/worker_get_status", data=b"{}",
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        status = json.loads(r.read())
+    assert status["model_names"] == ["tiny"]
+
+
+def test_worker_generate_stream(worker_server):
+    from PIL import Image
+
+    url, worker = worker_server
+    img = Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (80, 120, 3),
+                                         dtype=np.uint8))
+    payload = {
+        "prompt": "<|im_start|>user\n<image>\nWhat is this?<|im_end|>"
+                  "<|im_start|>assistant\n",
+        "images": [image_to_base64(img)],
+        "max_new_tokens": 6,
+        "temperature": 0.0,
+    }
+    req = urllib.request.Request(
+        url + "/worker_generate_stream",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        raw = r.read()
+    chunks = [json.loads(c) for c in raw.split(b"\0") if c]
+    assert len(chunks) >= 1
+    assert all(c["error_code"] == 0 for c in chunks)
+    assert isinstance(chunks[-1]["text"], str)

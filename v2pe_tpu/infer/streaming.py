@@ -1,0 +1,118 @@
+"""Chunked streaming decode for serving.
+
+The reference streams via a thread + HF TextIteratorStreamer
+(serve/model_worker.py:207-225). TPU-native version: prefill once, then emit
+fixed-size decode chunks from a jitted multi-token step (amortizing dispatch
+latency), yielding text increments between chunks."""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from v2pe_tpu.core.config import VLMConfig
+from v2pe_tpu.infer.generate import GenerationConfig, _sample
+from v2pe_tpu.models import internlm2, internvl_chat
+from v2pe_tpu.models.internlm2 import KVCache
+
+
+@partial(jax.jit, static_argnames=("cfg", "gc", "img_context_token_id",
+                                   "attn_impl", "max_total"))
+def _prefill(params, cfg: VLMConfig, gc: GenerationConfig, input_ids,
+             rope_pos_ids, pixel_values, image_flags,
+             img_context_token_id: int, max_total: int, rng,
+             attn_impl: str = "auto"):
+    llm = params["llm"]
+    B, S = input_ids.shape
+    embeds = llm["tok_embeddings"][input_ids]
+    vit = internvl_chat.extract_feature(params, cfg, pixel_values,
+                                        attn_impl=attn_impl)
+    embeds = internvl_chat.scatter_image_embeds(
+        embeds, input_ids, vit, image_flags, img_context_token_id)
+    cache = KVCache.zeros(cfg.llm, B, max_total,
+                          dtype=llm["tok_embeddings"].dtype)
+    logits, cache = internlm2.llm_forward(
+        llm, cfg.llm, inputs_embeds=embeds, rope_pos_ids=rope_pos_ids,
+        attn_impl=attn_impl, kv_cache=cache)
+    tok0 = _sample(logits[:, -1], gc, rng).astype(jnp.int32)
+    return tok0, cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "gc", "chunk", "attn_impl"))
+def _decode_chunk(params, cfg: VLMConfig, gc: GenerationConfig, cache,
+                  tok, pos, done, rng, chunk: int, attn_impl: str = "auto"):
+    llm = params["llm"]
+    eos = jnp.asarray(gc.eos_token_ids, jnp.int32) if gc.eos_token_ids \
+        else jnp.zeros((0,), jnp.int32)
+    B = tok.shape[0]
+    out = jnp.zeros((B, chunk), jnp.int32)
+
+    def body(i, state):
+        cache, tok, pos, done, out, key = state
+        key, sub = jax.random.split(key)
+        emb = llm["tok_embeddings"][tok][:, None, :]
+        logits, cache = internlm2.llm_forward(
+            llm, cfg.llm, inputs_embeds=emb, rope_pos_ids=pos[:, None],
+            attn_impl=attn_impl, kv_cache=cache)
+        nxt = _sample(logits[:, -1], gc, sub).astype(jnp.int32)
+        nxt = jnp.where(done, 0, nxt)
+        out = out.at[:, i].set(nxt)
+        if eos.size:
+            done = done | jnp.isin(nxt, eos)
+        return (cache, nxt, pos + 1.0, done, out, key)
+
+    cache, tok, pos, done, out, rng = jax.lax.fori_loop(
+        0, chunk, body, (cache, tok, pos, done, out, rng))
+    return cache, tok, pos, done, out, rng
+
+
+def stream_generate(
+    params, cfg: VLMConfig, gc: GenerationConfig,
+    input_ids: np.ndarray,       # (1, S)
+    rope_pos_ids: np.ndarray,    # (1, S) float32
+    pixel_values, image_flags,
+    img_context_token_id: int,
+    chunk: int = 8,
+    attn_impl: str = "auto",
+    rng: Optional[jax.Array] = None,
+) -> Iterator[np.ndarray]:
+    """Yields int32 token chunks until EOS or max_new_tokens."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    S = input_ids.shape[1]
+    max_total = S + gc.max_new_tokens
+    tok, cache = _prefill(params, cfg, gc, jnp.asarray(input_ids),
+                          jnp.asarray(rope_pos_ids),
+                          jnp.asarray(pixel_values), jnp.asarray(image_flags),
+                          img_context_token_id, max_total, rng,
+                          attn_impl=attn_impl)
+    eos = set(gc.eos_token_ids)
+    done = jnp.asarray([int(tok[0]) in eos]) if eos else jnp.asarray([False])
+    if not bool(done[0]):
+        yield np.asarray(tok)[None, 0:1][0]
+    pos = jnp.asarray(rope_pos_ids[:, -1] + 1.0)
+    emitted = 1
+    while emitted < gc.max_new_tokens and not bool(done[0]):
+        n = min(chunk, gc.max_new_tokens - emitted)
+        cache, tok, pos, done, out, rng = _decode_chunk(
+            params, cfg, gc, cache, tok, pos, done, rng, chunk=n,
+            attn_impl=attn_impl)
+        out = np.asarray(out[0])
+        # trim after eos inside the chunk
+        keep = []
+        for t in out:
+            if int(t) == 0:
+                break
+            keep.append(int(t))
+            if int(t) in eos:
+                break
+        emitted += n
+        if keep:
+            yield np.asarray(keep, np.int32)
+        if keep and eos and keep[-1] in eos:
+            break

@@ -1,0 +1,215 @@
+"""Model serving worker.
+
+Behavior parity with the reference's LLaVA-style worker
+(``internvl/serve/model_worker.py``): HTTP endpoints
+``/worker_generate_stream`` (b'\\0'-delimited JSON chunks, :263-276) and
+``/worker_get_status`` (:277-281), controller registration + heartbeat
+thread (:92-123), semaphore concurrency limit (:263-270), dynamic tiling of
+base64 images (:156-160). Improvements over the reference: V2PE position ids
+ARE passed at serve time (the reference's serve path forgets them —
+SURVEY.md §2.10), and the stack is stdlib http.server (FastAPI isn't in this
+image; the wire protocol is identical)."""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+from urllib import request as urlrequest
+
+import numpy as np
+
+from v2pe_tpu.infer.chat import ChatModel
+from v2pe_tpu.infer.generate import GenerationConfig
+from v2pe_tpu.infer.streaming import stream_generate
+from v2pe_tpu.positional import build_v2pe_pos_ids
+from v2pe_tpu.serve.mm_utils import (KeywordsStoppingCriteria,
+                                     load_image_from_base64)
+
+logger = logging.getLogger(__name__)
+
+
+class ModelWorker:
+    def __init__(
+        self,
+        chat_model: ChatModel,
+        *,
+        model_name: str = "internvl2-v2pe",
+        controller_addr: Optional[str] = None,
+        worker_addr: Optional[str] = None,
+        limit_model_concurrency: int = 5,
+        heartbeat_interval: float = 15.0,
+    ):
+        self.model = chat_model
+        self.model_name = model_name
+        self.worker_id = str(uuid.uuid4())[:6]
+        self.controller_addr = controller_addr
+        self.worker_addr = worker_addr
+        self.semaphore = threading.Semaphore(limit_model_concurrency)
+        self.limit = limit_model_concurrency
+        self.heartbeat_interval = heartbeat_interval
+        self._hb_thread = None
+        if controller_addr:
+            self.register_to_controller()
+            self._hb_thread = threading.Thread(
+                target=self._heartbeat_loop, daemon=True)
+            self._hb_thread.start()
+
+    # ----------------------------------------------------- controller plane
+    def _post(self, url: str, payload: dict):
+        req = urlrequest.Request(
+            url, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        return urlrequest.urlopen(req, timeout=5)
+
+    def register_to_controller(self):
+        logger.info("register to controller %s", self.controller_addr)
+        self._post(self.controller_addr + "/register_worker", {
+            "worker_name": self.worker_addr,
+            "check_heart_beat": True,
+            "worker_status": self.get_status(),
+        })
+
+    def _heartbeat_loop(self):
+        while True:
+            time.sleep(self.heartbeat_interval)
+            try:
+                self._post(self.controller_addr + "/receive_heart_beat", {
+                    "worker_name": self.worker_addr,
+                    "queue_length": self.get_queue_length(),
+                })
+            except Exception as e:
+                logger.warning("heartbeat failed: %s", e)
+
+    def get_queue_length(self) -> int:
+        return self.limit - self.semaphore._value
+
+    def get_status(self) -> dict:
+        return {"model_names": [self.model_name], "speed": 1,
+                "queue_length": self.get_queue_length()}
+
+    # ----------------------------------------------------------- generation
+    def generate_stream(self, params: dict):
+        """Yields dicts {text, error_code}; parity with
+        model_worker.generate_stream (:139-225)."""
+        prompt = params["prompt"]
+        images_b64 = params.get("images") or []
+        max_new_tokens = int(params.get("max_new_tokens", 256))
+        temperature = float(params.get("temperature", 0.0))
+        top_p = float(params.get("top_p", 1.0))
+        stop_str = params.get("stop")
+        max_num = int(params.get("max_num", self.model.cfg.max_dynamic_patch))
+
+        pixel_list, num_patches_list = [], []
+        for b64 in images_b64:
+            img = load_image_from_base64(b64)
+            pv, n = self.model.load_pixels(img, max_num=max_num)
+            pixel_list.append(pv)
+            num_patches_list.append(n)
+        if pixel_list:
+            pixels = np.concatenate(pixel_list)
+            flags = np.ones((pixels.shape[0],), np.int32)
+        else:
+            sz = self.model.cfg.force_image_size \
+                or self.model.cfg.vision.image_size
+            pixels = np.zeros((1, 3, sz, sz), np.float32)
+            flags = np.zeros((1,), np.int32)
+
+        query = prompt
+        for n in num_patches_list:
+            tokens = ("<img>" + "<IMG_CONTEXT>"
+                      * self.model.cfg.num_image_token * n + "</img>")
+            query = query.replace("<image>", tokens, 1)
+
+        enc = self.model.tokenizer(query)
+        ids = np.asarray(enc["input_ids"], np.int64)
+        # V2PE position ids (the reference's serve path omits these)
+        if num_patches_list and \
+                self.model.cfg.rope_pos_id_version != "default":
+            pos = build_v2pe_pos_ids(
+                ids, np.ones_like(ids), num_patches_list,
+                img_start_id=self.model.img_start_id,
+                img_end_id=self.model.img_end_id,
+                num_image_token=self.model.cfg.num_image_token,
+                version=self.model.cfg.rope_pos_id_version,
+                stride=self.model.cfg.rope_pos_id_stride)
+        else:
+            pos = np.arange(len(ids), dtype=np.float32)
+
+        gc = GenerationConfig(
+            max_new_tokens=max_new_tokens,
+            do_sample=temperature > 0.0,
+            temperature=temperature, top_p=top_p,
+            eos_token_ids=tuple(self.model.conv_template.stop_token_ids))
+
+        stopper = KeywordsStoppingCriteria(
+            [stop_str] if stop_str else [self.model.conv_template.sep])
+        text = ""
+        dtype = self.model.params["llm"]["tok_embeddings"].dtype
+        for chunk in stream_generate(
+                self.model.params, self.model.cfg, gc,
+                ids[None].astype(np.int32),
+                pos[None].astype(np.float32),
+                pixels.astype(dtype), flags,
+                self.model.img_context_token_id,
+                attn_impl=self.model.attn_impl):
+            stop_ids = set(gc.eos_token_ids)
+            keep = [int(t) for t in chunk if int(t) not in stop_ids]
+            text += self.model.tokenizer.decode(
+                keep, skip_special_tokens=True)
+            if stopper.should_stop(text):
+                yield {"text": stopper.trim(text), "error_code": 0}
+                return
+            yield {"text": text, "error_code": 0}
+
+    # ---------------------------------------------------------- http server
+    def make_server(self, host: str = "0.0.0.0", port: int = 40000):
+        worker = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                logger.debug(fmt, *args)
+
+            def _json_body(self):
+                length = int(self.headers.get("Content-Length", 0))
+                return json.loads(self.rfile.read(length) or b"{}")
+
+            def do_POST(self):
+                if self.path == "/worker_generate_stream":
+                    params = self._json_body()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/octet-stream")
+                    self.end_headers()
+                    with worker.semaphore:
+                        try:
+                            for out in worker.generate_stream(params):
+                                self.wfile.write(
+                                    json.dumps(out).encode() + b"\0")
+                        except Exception as e:
+                            logger.exception("generate failed")
+                            self.wfile.write(json.dumps({
+                                "text": f"server error: {e}",
+                                "error_code": 1}).encode() + b"\0")
+                elif self.path == "/worker_get_status":
+                    body = json.dumps(worker.get_status()).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+
+        return ThreadingHTTPServer((host, port), Handler)
+
+    def serve_forever(self, host="0.0.0.0", port=40000):
+        server = self.make_server(host, port)
+        logger.info("worker %s listening on %s:%d", self.worker_id, host,
+                    port)
+        server.serve_forever()
