@@ -154,10 +154,22 @@ class SupervisedDataset:
         self.root = meta.get("root", "") or ""
         if self.root and not self.root.endswith("/"):
             self.root += "/"
+        self._augment = is_train and bool(meta.get("data_augment", False))
         self.transform = build_transform(
-            is_train=is_train and bool(meta.get("data_augment", False)),
+            is_train=self._augment,
             input_size=image_size, pad2square=pad2square,
             normalize_type=normalize_type, rng=self.rng)
+        # the native C++ tile path matches PIL bit-for-bit but skips jpeg
+        # augmentation / pad2square / non-imagenet norms
+        self._native_ok = False
+        if not self._augment and not pad2square \
+                and normalize_type == "imagenet":
+            try:
+                from v2pe_tpu import native
+
+                self._native_ok = native.available()
+            except Exception:
+                self._native_ok = False
 
         ann = meta["annotation"]
         with open(ann) as f:
@@ -226,6 +238,28 @@ class SupervisedDataset:
         }
 
     def _tile_and_transform(self, images: List, max_patch: int):
+        # native C++ fast path (bit-identical to the PIL pipeline) when no
+        # train-time jpeg augmentation is active
+        if self._native_ok and self.dynamic_image_size:
+            from v2pe_tpu.data.constants import IMAGENET_MEAN, IMAGENET_STD
+            from v2pe_tpu.data.tiling import plan_tiles
+
+            pixels, num_tiles = [], []
+            for img in images:
+                arr = np.asarray(img.convert("RGB"))
+                gw, gh, n, _ = plan_tiles(
+                    arr.shape[1], arr.shape[0],
+                    min_num=self.min_dynamic_patch, max_num=max_patch,
+                    image_size=self.image_size,
+                    use_thumbnail=self.use_thumbnail)
+                from v2pe_tpu import native
+
+                pixels.append(native.tile_resize_normalize(
+                    arr, gw, gh, self.image_size, self.use_thumbnail,
+                    IMAGENET_MEAN, IMAGENET_STD))
+                num_tiles.append(n)
+            return np.concatenate(pixels), num_tiles
+
         tiles, num_tiles = [], []
         for img in images:
             if self.dynamic_image_size:
