@@ -71,8 +71,9 @@ register_conv_template(Conversation(
     stop_token_ids=(2, 1163, 92543, 92542),
 ))
 
-# InternVL2.5 template (internvl2_5 fork) — same MPT structure, updated
-# system message
+# InternVL2.5 template (internvl2_5/conversation.py:1324-1333): same MPT
+# structure, updated system message, sep includes the trailing newline, and
+# no explicit stop_token_ids (generation falls back to the model eos).
 register_conv_template(Conversation(
     name="internvl2_5",
     system_template="<|im_start|>system\n{system_message}",
@@ -80,6 +81,6 @@ register_conv_template(Conversation(
         "你是书生·万象，英文名是InternVL，是由上海人工智能实验室、清华大学及多家合作单位"
         "联合开发的多模态大语言模型。"),
     roles=("<|im_start|>user\n", "<|im_start|>assistant\n"),
-    sep="<|im_end|>",
-    stop_token_ids=(2, 92543, 92542),
+    sep="<|im_end|>\n",
+    stop_token_ids=(),
 ))

@@ -110,8 +110,9 @@ class ChatModel:
             pos = np.arange(len(ids), dtype=np.float32)
 
         gc = generation_config or GenerationConfig()
-        gc = dataclasses.replace(
-            gc, eos_token_ids=tuple(self.conv_template.stop_token_ids))
+        stop_ids = tuple(self.conv_template.stop_token_ids) or \
+            (self.cfg.llm.eos_token_id,)
+        gc = dataclasses.replace(gc, eos_token_ids=stop_ids)
 
         if pixel_values is None:
             sz = self.cfg.force_image_size or self.cfg.vision.image_size
