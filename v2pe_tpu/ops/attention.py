@@ -334,8 +334,8 @@ def flash_attention(
     kv_positions: Optional[jnp.ndarray] = None,
     causal: bool = True,
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 512,   # tuned on v5e: (512,1024) reaches ~100 TFLOPs at 8k
+    block_k: int = 1024,
     impl: str = "auto",
 ) -> jnp.ndarray:
     """Segment-aware flash attention.

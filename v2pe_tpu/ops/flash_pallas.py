@@ -112,8 +112,8 @@ def flash_attention_fwd_pallas(
     *,
     causal: bool,
     scale: float,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 512,   # tuned on v5e: (512,1024) reaches ~100 TFLOPs at 8k
+    block_k: int = 1024,
     ordered: bool = True,
     interpret: bool = False,
 ):

@@ -143,7 +143,7 @@ def _dq_kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
 
 def flash_attention_bwd_pallas(
     q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do,
-    *, causal, scale, block_q=256, block_k=256, ordered=True,
+    *, causal, scale, block_q=512, block_k=1024, ordered=True,
     interpret=False,
 ):
     """dq, dk, dv. Layout contract matches attention.py (BSHD in/out)."""

@@ -65,8 +65,8 @@ def ulysses_attention(
     q_segment_ids, kv_segment_ids, q_positions, kv_positions,
     causal: bool = True,
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 512,   # tuned on v5e: (512,1024) reaches ~100 TFLOPs at 8k
+    block_k: int = 1024,
     impl: str = "auto",
 ):
     if scale is None:
