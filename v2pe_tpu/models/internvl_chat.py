@@ -67,9 +67,18 @@ def extract_feature(params: dict, cfg: VLMConfig, pixel_values: jnp.ndarray,
                 ).astype(vit_embeds.dtype) + p["fc2_bias"]
 
     if cfg.img_emb_down_sample_ratio is not None:
-        # adaptive 1D avg-pool along tokens (:379-383)
+        # adaptive 1D avg-pool along tokens (F.adaptive_avg_pool1d, :379-383)
         tgt = cfg.num_image_token
-        h = jax.image.resize(h, (h.shape[0], tgt, h.shape[2]), "linear")
+        n_tok = h.shape[1]
+        # torch adaptive pooling bucket boundaries: [floor(i*N/t), ceil((i+1)*N/t))
+        starts = (jnp.arange(tgt) * n_tok) // tgt
+        ends = -(-(jnp.arange(1, tgt + 1) * n_tok) // tgt)
+        idx = jnp.arange(n_tok)
+        win = (idx[None, :] >= starts[:, None]) & (idx[None, :] < ends[:, None])
+        win = win.astype(jnp.float32)
+        win = win / win.sum(axis=1, keepdims=True)
+        h = jnp.einsum("tn,bnc->btc", win, h.astype(jnp.float32)
+                       ).astype(h.dtype)
     return h
 
 
