@@ -51,6 +51,36 @@ def compress_avg(h: jnp.ndarray, final_size: int = FINAL_SIZE) -> jnp.ndarray:
     return h[:, :used].reshape(B, final_size, step, C).mean(axis=2)
 
 
+def attention_pooling(h: jnp.ndarray, query_kernel: jnp.ndarray,
+                      query_bias: jnp.ndarray) -> jnp.ndarray:
+    """Learned pooling: softmax(x W) over the sequence selects n' weighted
+    mixtures (AttentionPooling, modeling_internlm2.py:64-78).
+    query_kernel: (C, final_size)."""
+    scores = h.astype(jnp.float32) @ query_kernel + query_bias  # (B,N,n')
+    weights = jax.nn.softmax(scores, axis=1)
+    return jnp.einsum("bni,bnd->bid", weights,
+                      h.astype(jnp.float32)).astype(h.dtype)
+
+
+def topk_pooling(h: jnp.ndarray, query_kernel: jnp.ndarray,
+                 query_bias: jnp.ndarray, final_size: int) -> jnp.ndarray:
+    """Score tokens with a scalar head, keep the top n' weighted by their
+    softmaxed scores (TopKPooling, modeling_internlm2.py:79-98).
+    query_kernel: (C, 1)."""
+    scores = (h.astype(jnp.float32) @ query_kernel + query_bias)[..., 0]
+    topk_scores, topk_idx = jax.lax.top_k(scores, final_size)  # (B, n')
+    selected = jnp.take_along_axis(h, topk_idx[..., None], axis=1)
+    weights = jax.nn.softmax(topk_scores, axis=1)[..., None]
+    return (selected.astype(jnp.float32) * weights).astype(h.dtype)
+
+
+def sigmoid_gate(x1: jnp.ndarray, x2: jnp.ndarray,
+                 gate: jnp.ndarray) -> jnp.ndarray:
+    """x1*sigmoid(g) + x2*(1-sigmoid(g)) (Sigmoid module, :112-123)."""
+    g = jax.nn.sigmoid(gate)
+    return x1 * g + x2 * (1 - g)
+
+
 def compress_llm_forward(
     llm_params: dict,
     compress_params: dict,

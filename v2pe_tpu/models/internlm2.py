@@ -172,8 +172,15 @@ def llm_forward(
         base = 0 if kv_cache is None else kv_cache.length
         rope_pos_ids = (base + jnp.arange(S, dtype=jnp.float32))[None, :]
         rope_pos_ids = jnp.broadcast_to(rope_pos_ids, (B, S))
-    cos, sin = compute_rope_cos_sin(rope_pos_ids.astype(jnp.float32),
-                                    cfg.head_dim, cfg.rope_theta)
+    # rope-scaling ablation modes (linear / dynamic-NTK interpolation
+    # baselines, cfg.rope_mode; v2pe/default are pass-through)
+    from v2pe_tpu.ops.rope import scale_positions
+
+    scaled_pos, theta = scale_positions(
+        rope_pos_ids.astype(jnp.float32), cfg.head_dim, cfg.rope_theta,
+        mode=cfg.rope_mode, scaling_factor=cfg.rope_scaling_factor,
+        max_position_embeddings=cfg.max_position_embeddings, seq_len=S)
+    cos, sin = compute_rope_cos_sin(scaled_pos, cfg.head_dim, theta)
 
     if kv_cache is None:
         def run_layer(lp, x):

@@ -77,3 +77,41 @@ def apply_rotary_from_pos_ids(
     """Convenience wrapper: V2PE rotary for q, k in (B, S, H, D) layout."""
     cos, sin = compute_rope_cos_sin(pos_ids, q.shape[-1], base)
     return apply_rotary(q, cos, sin), apply_rotary(k, cos, sin)
+
+
+def scale_positions(
+    pos_ids: jnp.ndarray,
+    head_dim: int,
+    base: float,
+    *,
+    mode: str = "v2pe",
+    scaling_factor: float = 1.0,
+    max_position_embeddings: int = 32768,
+    seq_len: int | None = None,
+) -> tuple[jnp.ndarray, float]:
+    """RoPE-scaling ablation modes kept for parity with the reference's
+    interpolation baselines (swapped into the long eval at
+    eval_mm_niah_long.py:144-162):
+
+    * 'v2pe'/'default': positions unchanged;
+    * 'linear' (InternLM2LinearScalingRotaryEmbedding, :312-336):
+      t / scaling_factor;
+    * 'dynamic' NTK (InternLM2DynamicNTKScalingRotaryEmbedding, :340-372):
+      base rescaled by ((f*len/max) - (f-1)) ** (dim/(dim-2)) when the
+      sequence exceeds max_position_embeddings.
+
+    Returns (scaled positions, effective base).
+    """
+    if mode in ("v2pe", "default"):
+        return pos_ids, base
+    if mode == "linear":
+        return pos_ids / scaling_factor, base
+    if mode == "dynamic":
+        s = seq_len if seq_len is not None else pos_ids.shape[-1]
+        if s > max_position_embeddings:
+            base = base * (
+                (scaling_factor * s / max_position_embeddings)
+                - (scaling_factor - 1)
+            ) ** (head_dim / (head_dim - 2))
+        return pos_ids, base
+    raise NotImplementedError(mode)
