@@ -79,6 +79,31 @@ def apply_rotary_from_pos_ids(
     return apply_rotary(q, cos, sin), apply_rotary(k, cos, sin)
 
 
+def rope_2d_cos_sin(h: int, w: int, head_dim: int, base: float = 100.0
+                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """2-D image RoPE: interleaved x/y frequencies over an h x w grid.
+
+    Parity with ``InternLM2RotaryEmbedding2D`` (modeling_internlm2.py:
+    375-412; defined for image-token rotary ablations, base=100): even
+    channels carry x-axis frequencies theta[0::2], odd channels y-axis
+    theta[1::2], each duplicated in the cat(freqs,freqs) layout.
+    Returns cos/sin of shape (h, w, head_dim) float32.
+    """
+    theta = rope_inv_freq(head_dim, base)
+    x = jnp.arange(h, dtype=jnp.float32)
+    y = jnp.arange(w, dtype=jnp.float32)
+    freqs_x = x[:, None] * theta[0::2]  # (h, hd/4)
+    freqs_y = y[:, None] * theta[1::2]  # (w, hd/4)
+    freqs_x = jnp.concatenate([freqs_x, freqs_x], axis=-1)  # (h, hd/2)
+    freqs_y = jnp.concatenate([freqs_y, freqs_y], axis=-1)  # (w, hd/2)
+    freqs = jnp.zeros((h, w, head_dim), jnp.float32)
+    freqs = freqs.at[..., 0::2].set(
+        jnp.broadcast_to(freqs_x[:, None, :], (h, w, head_dim // 2)))
+    freqs = freqs.at[..., 1::2].set(
+        jnp.broadcast_to(freqs_y[None, :, :], (h, w, head_dim // 2)))
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
 def scale_positions(
     pos_ids: jnp.ndarray,
     head_dim: int,
