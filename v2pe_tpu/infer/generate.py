@@ -95,12 +95,17 @@ def generate(
         return ((slot < prompt_lengths[:, None]) |
                 ((slot >= S) & (slot < S + t)))
 
-    logits, cache = internlm2.llm_forward(
+    # prefill computes hidden states only; the vocab projection runs on the
+    # single last position per row (the full-sequence fp32 logits head is
+    # ~3 GB of HBM writes at 8k x 92k — pure TTFT waste)
+    hidden, cache = internlm2.llm_forward(
         llm, cfg.llm, inputs_embeds=embeds, rope_pos_ids=rope_pos_ids,
         segment_ids=seg, attn_impl=attn_impl, kv_cache=cache,
-        kv_valid=kv_valid_at(0))
-    last_logits = jnp.take_along_axis(
-        logits, (prompt_lengths[:, None, None] - 1), axis=1)[:, 0]
+        kv_valid=kv_valid_at(0), return_hidden=True)
+    last_hidden = jnp.take_along_axis(
+        hidden, (prompt_lengths[:, None, None] - 1), axis=1)
+    last_logits = jnp.dot(last_hidden, llm["output_kernel"],
+                          preferred_element_type=jnp.float32)[:, 0]
 
     # decode-time integer position advance from the fractional prompt max
     last_pos = jnp.take_along_axis(rope_pos_ids,

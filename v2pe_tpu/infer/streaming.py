@@ -36,10 +36,12 @@ def _prefill(params, cfg: VLMConfig, gc: GenerationConfig, input_ids,
         embeds, input_ids, vit, image_flags, img_context_token_id)
     cache = KVCache.zeros(cfg.llm, B, max_total,
                           dtype=llm["tok_embeddings"].dtype)
-    logits, cache = internlm2.llm_forward(
+    hidden, cache = internlm2.llm_forward(
         llm, cfg.llm, inputs_embeds=embeds, rope_pos_ids=rope_pos_ids,
-        attn_impl=attn_impl, kv_cache=cache)
-    tok0 = _sample(logits[:, -1], gc, rng).astype(jnp.int32)
+        attn_impl=attn_impl, kv_cache=cache, return_hidden=True)
+    last_logits = jnp.dot(hidden[:, -1:], llm["output_kernel"],
+                          preferred_element_type=jnp.float32)[:, 0]
+    tok0 = _sample(last_logits, gc, rng).astype(jnp.int32)
     return tok0, cache
 
 

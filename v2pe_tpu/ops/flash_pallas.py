@@ -36,6 +36,19 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def pick_block(S: int, max_block: int) -> int:
+    """Largest multiple-of-128 block <= max_block that minimizes grid
+    padding (e.g. the ViT's 1025-token tiles pad to 1152 with block 384
+    instead of 1536 with block 512 — 25% less attention work)."""
+    best_pad, best_b = None, None
+    for b in range(128, max_block + 1, 128):
+        padded = _cdiv(S, b) * b
+        if best_pad is None or padded < best_pad or \
+                (padded == best_pad and b > best_b):
+            best_pad, best_b = padded, b
+    return best_b if best_b is not None else min(S, max_block)
+
+
 def _kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
             q_ref, k_ref, v_ref,
             out_ref, lse_ref,
@@ -124,8 +137,8 @@ def flash_attention_fwd_pallas(
     _, Sk, Hkv, _ = k.shape
     G = Hq // Hkv
 
-    bq = min(block_q, Sq)
-    bk = min(block_k, Sk)
+    bq = pick_block(Sq, block_q) if Sq >= 128 else min(block_q, Sq)
+    bk = pick_block(Sk, block_k) if Sk >= 128 else min(block_k, Sk)
     nq, nk = _cdiv(Sq, bq), _cdiv(Sk, bk)
     Sq_p, Sk_p = nq * bq, nk * bk
 

@@ -151,8 +151,10 @@ def flash_attention_bwd_pallas(
     _, Sk, Hkv, _ = k.shape
     G = Hq // Hkv
 
-    bq = min(block_q, Sq)
-    bk = min(block_k, Sk)
+    from v2pe_tpu.ops.flash_pallas import pick_block
+
+    bq = pick_block(Sq, block_q) if Sq >= 128 else min(block_q, Sq)
+    bk = pick_block(Sk, block_k) if Sk >= 128 else min(block_k, Sk)
     nq, nk = _cdiv(Sq, bq), _cdiv(Sk, bk)
     Sq_p, Sk_p = nq * bq, nk * bk
 
