@@ -370,6 +370,16 @@ def flash_attention(
     if kv_positions is None:
         kv_positions = jnp.broadcast_to(jnp.arange(Sk, dtype=jnp.int32), (B, Sk))
 
+    # decode fast path: a <=16-token query block starves the MXU kernel
+    # (1-row blocks); a dense einsum is bandwidth-bound and optimal there
+    if Sq <= 16 and Sk > Sq:
+        from v2pe_tpu.ops.attention_ref import attention_reference
+
+        return attention_reference(
+            q, k, v, q_segment_ids=q_segment_ids,
+            kv_segment_ids=kv_segment_ids, causal=causal, scale=scale,
+            q_positions=q_positions, kv_positions=kv_positions)
+
     statics = AttnStatics(causal=causal, scale=float(scale),
                           block_q=block_q, block_k=block_k, impl=impl,
                           ordered=ordered, interpret=interpret)

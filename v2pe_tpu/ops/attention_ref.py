@@ -24,20 +24,31 @@ def make_attention_mask(
     causal: bool,
     q_offset: int | jnp.ndarray = 0,
     kv_offset: int | jnp.ndarray = 0,
+    q_positions: Optional[jnp.ndarray] = None,
+    kv_positions: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Boolean (B, Sq, Sk) mask: True = attend.
 
     Packing semantics (replaces cu_seqlens varlen flash attention,
     patch/internlm2_packed_training_patch.py:19-75): tokens attend only
     within their own segment; segment id 0 is padding and attends nowhere.
-    Causality compares global token indices (offsets support ring shards).
+    Causality compares global token indices (offsets support ring shards;
+    explicit (B, S) position arrays override the arange+offset default).
     """
     seg_q = q_segment_ids[:, :, None]
     seg_k = kv_segment_ids[:, None, :]
     mask = (seg_q == seg_k) & (seg_q != 0)
     if causal:
-        q_idx = jnp.arange(q_segment_ids.shape[-1])[:, None] + q_offset
-        k_idx = jnp.arange(kv_segment_ids.shape[-1])[None, :] + kv_offset
+        if q_positions is not None:
+            q_idx = q_positions[:, :, None]
+        else:
+            q_idx = (jnp.arange(q_segment_ids.shape[-1])[None, :, None]
+                     + q_offset)
+        if kv_positions is not None:
+            k_idx = kv_positions[:, None, :]
+        else:
+            k_idx = (jnp.arange(kv_segment_ids.shape[-1])[None, None, :]
+                     + kv_offset)
         mask = mask & (q_idx >= k_idx)
     return mask
 
@@ -53,6 +64,8 @@ def attention_reference(
     scale: Optional[float] = None,
     q_offset: int | jnp.ndarray = 0,
     kv_offset: int | jnp.ndarray = 0,
+    q_positions: Optional[jnp.ndarray] = None,
+    kv_positions: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full-materialization attention. q (B,Sq,Hq,D); k/v (B,Sk,Hkv,D)."""
     B, Sq, Hq, D = q.shape
@@ -62,24 +75,33 @@ def attention_reference(
     if scale is None:
         scale = D ** -0.5
 
-    if groups > 1:  # repeat_kv (modeling_internlm2.py:462-471)
-        k = jnp.repeat(k, groups, axis=2)
-        v = jnp.repeat(v, groups, axis=2)
-
-    qf = q.astype(jnp.float32) * scale
-    scores = jnp.einsum("bqhd,bkhd->bhqk", qf, k.astype(jnp.float32))
+    # GQA via a grouped einsum — never materializes repeated K/V (the
+    # reference's repeat_kv doubles KV bandwidth; on TPU decode that is the
+    # bottleneck). q head h*G+g belongs to kv head h (wqkv layout).
+    qf = (q.astype(jnp.float32) * scale).reshape(B, Sq, Hkv, groups, D)
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qf, k.astype(jnp.float32))
+    scores = scores.reshape(B, Hq, Sq, Sk)
 
     if q_segment_ids is not None:
         mask = make_attention_mask(
             q_segment_ids, kv_segment_ids,
             causal=causal, q_offset=q_offset, kv_offset=kv_offset,
+            q_positions=q_positions, kv_positions=kv_positions,
         )
         scores = jnp.where(mask[:, None, :, :], scores, NEG_INF)
     elif causal:
-        q_idx = jnp.arange(Sq)[:, None] + q_offset
-        k_idx = jnp.arange(Sk)[None, :] + kv_offset
+        if q_positions is not None:
+            q_idx = q_positions[0][:, None]
+        else:
+            q_idx = jnp.arange(Sq)[:, None] + q_offset
+        if kv_positions is not None:
+            k_idx = kv_positions[0][None, :]
+        else:
+            k_idx = jnp.arange(Sk)[None, :] + kv_offset
         scores = jnp.where(q_idx >= k_idx, scores, NEG_INF)
 
     weights = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v.astype(jnp.float32))
+    weights = weights.reshape(B, Hkv, groups, Sq, Sk)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", weights, v.astype(jnp.float32))
+    out = out.reshape(B, Sq, Hq, D)
     return out.astype(q.dtype)
