@@ -164,6 +164,25 @@ def forward(
             input_embeds, input_ids, vit_embeds, image_flags,
             img_context_token_id)
 
+    if targets is not None:
+        # training path: never materialize (S, V) fp32 logits — at 32k x
+        # 92553 that is ~12 GB; compute the CE from hidden states in
+        # sequence chunks with rematerialized per-chunk projections
+        hidden, _ = internlm2.llm_forward(
+            params["llm"], cfg.llm,
+            inputs_embeds=input_embeds,
+            rope_pos_ids=rope_pos_ids,
+            segment_ids=segment_ids,
+            positions=token_positions,
+            attn_impl=attn_impl,
+            remat=remat,
+            return_hidden=True,
+        )
+        loss = chunked_cross_entropy(
+            hidden, params["llm"]["output_kernel"], targets, loss_weight,
+            loss_weight_sum)
+        return VLMOutput(loss=loss, logits=None)
+
     logits, _ = internlm2.llm_forward(
         params["llm"], cfg.llm,
         inputs_embeds=input_embeds,
@@ -175,13 +194,50 @@ def forward(
     )
 
     loss = None
-    if targets is not None:
-        loss = cross_entropy_loss_preshifted(
-            logits, targets, loss_weight, loss_weight_sum)
-    elif labels is not None:
+    if labels is not None:
         loss = cross_entropy_loss(logits, labels, loss_weight,
                                   loss_weight_sum, cfg.llm.vocab_size)
     return VLMOutput(loss=loss, logits=logits)
+
+
+def chunked_cross_entropy(hidden, output_kernel, targets, loss_weight=None,
+                          loss_weight_sum=None, chunk: int = 2048):
+    """Weighted pre-shifted CE computed per sequence chunk so the fp32
+    logits buffer is bounded at (chunk, V); the backward recomputes each
+    chunk's projection (jax.checkpoint)."""
+    B, S, D = hidden.shape
+    c = min(chunk, S)
+    while S % c != 0:  # static; S is a padded power-of-two-ish length
+        c //= 2
+    n = S // c
+    h = hidden.reshape(B, n, c, D)
+    t = targets.reshape(B, n, c)
+    w = (loss_weight if loss_weight is not None
+         else jnp.ones((B, S), jnp.float32)).reshape(B, n, c)
+
+    @jax.checkpoint
+    def chunk_loss(h_c, t_c, w_c):
+        logits = jnp.dot(h_c, output_kernel,
+                         preferred_element_type=jnp.float32)
+        valid = t_c != -100
+        safe = jnp.where(valid, t_c, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tl = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        tl = jnp.where(valid, tl, 0.0)
+        wv = w_c.astype(jnp.float32) * valid
+        return jnp.sum(tl * wv), jnp.sum(wv)
+
+    def body(carry, inp):
+        num, den = carry
+        l, wsum = chunk_loss(*inp)
+        return (num + l, den + wsum), None
+
+    (num, den), _ = jax.lax.scan(
+        body, (jnp.float32(0), jnp.float32(0)),
+        (jnp.swapaxes(h, 0, 1), jnp.swapaxes(t, 0, 1),
+         jnp.swapaxes(w, 0, 1)))
+    wsum = loss_weight_sum if loss_weight_sum is not None else den
+    return num / jnp.maximum(wsum, 1e-8)
 
 
 def cross_entropy_loss_preshifted(logits, targets, loss_weight=None,
