@@ -88,19 +88,9 @@ def shard_params(params, mesh: Mesh):
 
 
 def init_opt_state(tx, params, mesh: Optional[Mesh] = None):
+    """Initialize optimizer state; under a mesh the moments inherit the
+    param shardings through GSPMD propagation (jitted init)."""
     if mesh is None:
         return tx.init(params)
     shardings = param_sharding(params, mesh)
-
-    def _init(p):
-        return tx.init(p)
-
-    # shard optimizer state like its matching parameter (moments mirror
-    # param shapes; scalars replicate)
-    out_shardings = jax.eval_shape(_init, params)
-
-    def sharding_for(leaf_shape):
-        return None
-
-    init_jit = jax.jit(_init, in_shardings=(shardings,))
-    return init_jit(params)
+    return jax.jit(tx.init, in_shardings=(shardings,))(params)
