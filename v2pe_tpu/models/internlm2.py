@@ -76,11 +76,15 @@ def attention_forward(
     kv_cache_layer: Optional[tuple] = None,
     cache_length: Optional[jnp.ndarray] = None,
     kv_valid: Optional[jnp.ndarray] = None,
+    cache_write_only_new: bool = False,
 ):
-    """One attention block. If kv_cache_layer=(k_buf, v_buf) is given, new k/v
-    are written at cache_length and attention runs over the whole buffer
-    (decode/prefill-with-cache path). kv_valid (B, max_len) masks cache slots
-    (right-padded ragged prompts write garbage keys at pad slots)."""
+    """One attention block. If kv_cache_layer=(k_buf, v_buf) is given,
+    attention runs over cache + new tokens. With cache_write_only_new the
+    function never copies the cache buffers: decode attention splits into a
+    cache part and a fresh-token part (merged via one softmax) and only the
+    new (k, v) are returned for the caller to write — the full-buffer
+    update path rewrote ~1.6 GB per decoded token at 8k. kv_valid
+    (B, max_len) masks cache slots (ragged right-padded prompts)."""
     B, S, D = x.shape
     qkv = _dot(x, p["wqkv_kernel"])
     if cfg.bias:
@@ -90,13 +94,18 @@ def attention_forward(
     k = apply_rotary(k, cos, sin)
 
     new_cache = None
-    if kv_cache_layer is not None:
+    if kv_cache_layer is not None and S <= 16 and cache_write_only_new:
+        k_buf, v_buf = kv_cache_layer
+        out = _two_part_decode_attention(
+            q, k, v, k_buf, v_buf, cache_length, kv_valid)
+        new_cache = (k, v)
+    elif kv_cache_layer is not None:
         k_buf, v_buf = kv_cache_layer
         k_buf = jax.lax.dynamic_update_slice_in_dim(
             k_buf, k.astype(k_buf.dtype), cache_length, axis=1)
         v_buf = jax.lax.dynamic_update_slice_in_dim(
             v_buf, v.astype(v_buf.dtype), cache_length, axis=1)
-        new_cache = (k_buf, v_buf)
+        new_cache = (k, v) if cache_write_only_new else (k_buf, v_buf)
         max_len = k_buf.shape[1]
         kv_pos = jnp.broadcast_to(jnp.arange(max_len, dtype=jnp.int32),
                                   (B, max_len))
@@ -126,6 +135,46 @@ def attention_forward(
     return out, new_cache
 
 
+def _two_part_decode_attention(q, k_new, v_new, k_buf, v_buf, cache_length,
+                               kv_valid):
+    """Decode attention without touching the cache buffers: softmax over
+    [cache scores | fresh-token scores], GQA grouped einsums, fp32 math.
+    q/k_new/v_new (B, S<=16, H*, hd); k_buf/v_buf (B, max_len, Hkv, hd)."""
+    B, S, Hq, hd = q.shape
+    max_len = k_buf.shape[1]
+    Hkv = k_buf.shape[2]
+    G = Hq // Hkv
+    scale = hd ** -0.5
+
+    qf = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    qg = qf.reshape(B, S, Hkv, G, hd)
+
+    # cache part: mask = valid slots strictly before cache_length
+    slot = jnp.arange(max_len, dtype=jnp.int32)[None, :]
+    valid_old = slot < cache_length
+    if kv_valid is not None:
+        valid_old = valid_old & kv_valid
+    s_old = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k_buf,
+                       preferred_element_type=jnp.float32)
+    s_old = jnp.where(valid_old[:, None, None, None, :], s_old, -1e30)
+
+    # fresh part: causal among the S new tokens
+    s_new = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k_new,
+                       preferred_element_type=jnp.float32)
+    tri = (jnp.arange(S)[:, None] >= jnp.arange(S)[None, :])
+    s_new = jnp.where(tri[None, None, None], s_new, -1e30)
+
+    s = jnp.concatenate([s_old, s_new], axis=-1)  # (B,Hkv,G,S,L+S)
+    w = jax.nn.softmax(s, axis=-1)
+    w_old, w_new = w[..., :max_len], w[..., max_len:]
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", w_old.astype(v_buf.dtype), v_buf,
+                     preferred_element_type=jnp.float32)
+    out = out + jnp.einsum("bhgqk,bkhd->bqhgd",
+                           w_new.astype(v_new.dtype), v_new,
+                           preferred_element_type=jnp.float32)
+    return out.reshape(B, S, Hq, hd).astype(q.dtype)
+
+
 def mlp_forward(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     """SwiGLU: w2(silu(w1 x) * w3 x) — modeling_internlm2.py:444-458."""
     return _dot(jax.nn.silu(_dot(x, p["w1_kernel"])) * _dot(x, p["w3_kernel"]),
@@ -134,12 +183,13 @@ def mlp_forward(p: dict, x: jnp.ndarray) -> jnp.ndarray:
 
 def layer_forward(p, cfg: LLMConfig, x, cos, sin, *, segment_ids, positions,
                   attn_impl, kv_cache_layer=None, cache_length=None,
-                  kv_valid=None):
+                  kv_valid=None, cache_write_only_new=False):
     h = rms_norm(x, p["attention_norm"], cfg.rms_norm_eps)
     attn_out, new_cache = attention_forward(
         p, cfg, h, cos, sin, segment_ids=segment_ids, positions=positions,
         attn_impl=attn_impl, kv_cache_layer=kv_cache_layer,
-        cache_length=cache_length, kv_valid=kv_valid)
+        cache_length=cache_length, kv_valid=kv_valid,
+        cache_write_only_new=cache_write_only_new)
     x = x + attn_out
     h = rms_norm(x, p["ffn_norm"], cfg.rms_norm_eps)
     x = x + mlp_forward(p, h)
@@ -198,17 +248,32 @@ def llm_forward(
         x, _ = jax.lax.scan(scan_body, x, params["layers"])
         new_cache = None
     else:
-        def scan_body(x, inp):
-            lp, kb, vb = inp
+        # the whole (L, B, max_len, Hkv, hd) cache rides the scan CARRY and
+        # only the S new tokens are written per layer — scanning the cache
+        # through ys would rewrite the full buffers every call (~1.6 GB per
+        # decoded token at 8k), which dominated decode time
+        def scan_body(carry, lp):
+            x, kc, vc, li = carry
             x, (kb, vb) = layer_forward(
                 lp, cfg, x, cos, sin, segment_ids=segment_ids,
                 positions=positions, attn_impl=attn_impl,
-                kv_cache_layer=(kb, vb), cache_length=kv_cache.length,
-                kv_valid=kv_valid)
-            return x, (kb, vb)
+                kv_cache_layer=(
+                    jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False),
+                    jax.lax.dynamic_index_in_dim(vc, li, 0, keepdims=False)),
+                cache_length=kv_cache.length, kv_valid=kv_valid,
+                cache_write_only_new=True)
+            k_new, v_new = kb, vb  # (B, S, Hkv, hd) — just the new tokens
+            kc = jax.lax.dynamic_update_slice(
+                kc, k_new[None].astype(kc.dtype),
+                (li, 0, kv_cache.length, 0, 0))
+            vc = jax.lax.dynamic_update_slice(
+                vc, v_new[None].astype(vc.dtype),
+                (li, 0, kv_cache.length, 0, 0))
+            return (x, kc, vc, li + 1), None
 
-        x, (k_new, v_new) = jax.lax.scan(
-            scan_body, x, (params["layers"], kv_cache.k, kv_cache.v))
+        (x, k_new, v_new, _), _ = jax.lax.scan(
+            scan_body, (x, kv_cache.k, kv_cache.v, jnp.int32(0)),
+            params["layers"])
         new_cache = KVCache(k_new, v_new, kv_cache.length + S)
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)

@@ -77,9 +77,14 @@ def attention_reference(
 
     # GQA via a grouped einsum — never materializes repeated K/V (the
     # reference's repeat_kv doubles KV bandwidth; on TPU decode that is the
-    # bottleneck). q head h*G+g belongs to kv head h (wqkv layout).
+    # bottleneck). q head h*G+g belongs to kv head h (wqkv layout). K/V stay
+    # in their storage dtype (an .astype(f32) here would write a 2x-sized
+    # copy of the whole cache per layer); fp32 happens in the MXU accumulator
+    # via preferred_element_type.
     qf = (q.astype(jnp.float32) * scale).reshape(B, Sq, Hkv, groups, D)
-    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qf, k.astype(jnp.float32))
+    qf = qf.astype(k.dtype) if k.dtype == jnp.bfloat16 else qf
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qf, k,
+                        preferred_element_type=jnp.float32)
     scores = scores.reshape(B, Hq, Sq, Sk)
 
     if q_segment_ids is not None:
@@ -102,6 +107,9 @@ def attention_reference(
 
     weights = jax.nn.softmax(scores, axis=-1)
     weights = weights.reshape(B, Hkv, groups, Sq, Sk)
-    out = jnp.einsum("bhgqk,bkhd->bqhgd", weights, v.astype(jnp.float32))
+    out = jnp.einsum("bhgqk,bkhd->bqhgd",
+                     weights.astype(v.dtype) if v.dtype == jnp.bfloat16
+                     else weights,
+                     v, preferred_element_type=jnp.float32)
     out = out.reshape(B, Sq, Hq, D)
     return out.astype(q.dtype)
