@@ -200,6 +200,18 @@ def forward(
     return VLMOutput(loss=loss, logits=logits)
 
 
+def _ce_block(h, output_kernel, t, w):
+    """(sum weighted token loss, sum weights) for one block."""
+    logits = jnp.dot(h, output_kernel, preferred_element_type=jnp.float32)
+    valid = t != -100
+    safe = jnp.where(valid, t, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tl = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    tl = jnp.where(valid, tl, 0.0)
+    wv = w.astype(jnp.float32) * valid
+    return jnp.sum(tl * wv), jnp.sum(wv)
+
+
 def chunked_cross_entropy(hidden, output_kernel, targets, loss_weight=None,
                           loss_weight_sum=None, chunk: int = 2048):
     """Weighted pre-shifted CE computed per sequence chunk so the fp32
@@ -210,22 +222,26 @@ def chunked_cross_entropy(hidden, output_kernel, targets, loss_weight=None,
     while S % c != 0:  # static; S is a padded power-of-two-ish length
         c //= 2
     n = S // c
+
+    from v2pe_tpu.parallel import context as pctx
+
+    if n == 1 or pctx.current() is not None:
+        # single chunk, or running under a mesh: scanning a reshaped
+        # sharded sequence dim trips an XLA-CPU CHECK (and under a mesh the
+        # logits are sharded over batch x seq anyway, so the full-logits CE
+        # is already bounded per device)
+        w = loss_weight if loss_weight is not None \
+            else jnp.ones((B, S), jnp.float32)
+        num, den = _ce_block(hidden, output_kernel, targets, w)
+        wsum = loss_weight_sum if loss_weight_sum is not None else den
+        return num / jnp.maximum(wsum, 1e-8)
     h = hidden.reshape(B, n, c, D)
     t = targets.reshape(B, n, c)
     w = (loss_weight if loss_weight is not None
          else jnp.ones((B, S), jnp.float32)).reshape(B, n, c)
 
-    @jax.checkpoint
-    def chunk_loss(h_c, t_c, w_c):
-        logits = jnp.dot(h_c, output_kernel,
-                         preferred_element_type=jnp.float32)
-        valid = t_c != -100
-        safe = jnp.where(valid, t_c, 0)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        tl = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-        tl = jnp.where(valid, tl, 0.0)
-        wv = w_c.astype(jnp.float32) * valid
-        return jnp.sum(tl * wv), jnp.sum(wv)
+    chunk_loss = jax.checkpoint(
+        lambda h_c, t_c, w_c: _ce_block(h_c, output_kernel, t_c, w_c))
 
     def body(carry, inp):
         num, den = carry
