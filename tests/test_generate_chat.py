@@ -42,13 +42,14 @@ def test_greedy_generate_matches_teacher_forced():
     pixels = np.random.RandomState(0).randn(1, 3, 56, 56).astype(np.float32)
 
     gc = GenerationConfig(max_new_tokens=6)
-    tokens, n = generate(
+    tokens, n, lens = generate(
         params, cfg, gc,
         jnp.asarray(ids[None]), jnp.asarray([S], jnp.int32),
         jnp.asarray(pos[None]), jnp.asarray(pixels),
         jnp.ones((1,), jnp.int32), 291, attn_impl="jnp")
     tokens = np.asarray(tokens[0])
     assert int(n) == 6
+    assert int(lens[0]) == 6
 
     # teacher-forced: extend the prompt with generated tokens and verify the
     # full forward's argmax at each boundary reproduces them
@@ -80,7 +81,7 @@ def test_ragged_batch_prompts_match_single():
     p2 = np.arange(40, 48).astype(np.int32)          # len 8
 
     def single(p):
-        toks, _ = generate(
+        toks, _, _ = generate(
             params, cfg, gc, jnp.asarray(p[None]),
             jnp.asarray([len(p)], jnp.int32),
             jnp.asarray(np.arange(len(p), dtype=np.float32)[None]),
@@ -92,7 +93,7 @@ def test_ragged_batch_prompts_match_single():
     batch_ids[0, :15] = p1
     batch_ids[1, :8] = p2
     pos = np.broadcast_to(np.arange(S, dtype=np.float32), (2, S)).copy()
-    toks, _ = generate(
+    toks, _, _ = generate(
         params, cfg, gc, jnp.asarray(batch_ids),
         jnp.asarray([15, 8], jnp.int32), jnp.asarray(pos),
         jnp.asarray(np.concatenate([pixels, pixels])),

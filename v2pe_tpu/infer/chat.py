@@ -121,7 +121,7 @@ class ChatModel:
         else:
             flags = np.ones((pixel_values.shape[0],), np.int32)
 
-        tokens, _ = generate(
+        tokens, _, gen_lens = generate(
             self.params, self.cfg, gc,
             jnp.asarray(ids[None], jnp.int32),
             jnp.asarray([len(ids)], jnp.int32),
@@ -132,7 +132,8 @@ class ChatModel:
             self.img_context_token_id,
             attn_impl=self.attn_impl,
         )
-        response = self._decode(np.asarray(tokens[0]))
+        response = self._decode(np.asarray(tokens[0]),
+                                int(np.asarray(gen_lens)[0]))
         history = list(history or []) + [(question, response)]
         if verbose:
             print(f"{query!r} -> {response!r}")
@@ -152,13 +153,14 @@ class ChatModel:
                                  num_patches_list=npl, **kw))
         return out
 
-    def _decode(self, token_ids: np.ndarray) -> str:
+    def _decode(self, token_ids: np.ndarray, gen_len: int) -> str:
+        """Slice by the per-row generated length from generate() (token id 0
+        may be a legitimate vocab item, so no sentinel scanning), then drop a
+        trailing stop token."""
         stop = set(self.conv_template.stop_token_ids)
-        keep = []
-        for t in token_ids:
-            if int(t) in stop or int(t) == 0:
-                break
-            keep.append(int(t))
+        keep = [int(t) for t in token_ids[:gen_len]]
+        while keep and keep[-1] in stop:
+            keep.pop()
         text = self.tokenizer.decode(keep, skip_special_tokens=True)
         sep = self.conv_template.sep
         return text.split(sep)[0].strip()

@@ -66,7 +66,13 @@ def generate(
     rng: Optional[jax.Array] = None,
     attn_impl: str = "auto",
 ):
-    """Greedy/sampling decode. Returns (tokens (B, max_new), num_generated).
+    """Greedy/sampling decode.
+
+    Returns (tokens (B, max_new), steps_taken, gen_lens (B,)) where
+    gen_lens[i] counts row i's valid generated tokens (including its stop
+    token) — rows finished earlier are 0-filled in `tokens`, so callers must
+    slice by gen_lens rather than scanning for a sentinel (token id 0 can be
+    a legitimate vocabulary item).
 
     Right-padded batched prompts are handled through per-row positions and a
     kv segment mask derived from prompt_lengths."""
@@ -115,11 +121,11 @@ def generate(
         else jnp.zeros((0,), jnp.int32)
 
     def cond(state):
-        t, _, _, _, done, _, _ = state
+        t, _, _, _, done, _, _, _ = state
         return (t < gc.max_new_tokens) & ~jnp.all(done)
 
     def body(state):
-        t, tok, pos, cache, done, out, key = state
+        t, tok, pos, cache, done, out, lens, key = state
         key, sub = jax.random.split(key)
         emb = llm["tok_embeddings"][tok][:, None, :]
         logits, cache = internlm2.llm_forward(
@@ -130,12 +136,15 @@ def generate(
         nxt = _sample(logits[:, -1], gc, sub).astype(jnp.int32)
         nxt = jnp.where(done, 0, nxt)
         out = out.at[:, t].set(nxt)
+        lens = lens + jnp.where(done, 0, 1)  # token t valid iff not done yet
         done = done | jnp.isin(nxt, eos) if eos.size else done
-        return (t + 1, nxt, pos + 1.0, cache, done, out, key)
+        return (t + 1, nxt, pos + 1.0, cache, done, out, lens, key)
 
     tok0 = _sample(last_logits, gc, rng).astype(jnp.int32)
     out0 = jnp.zeros((B, gc.max_new_tokens), jnp.int32).at[:, 0].set(tok0)
     done0 = jnp.isin(tok0, eos) if eos.size else jnp.zeros((B,), bool)
-    state = (jnp.int32(1), tok0, last_pos + 1.0, cache, done0, out0, rng)
-    t, _, _, _, _, out, _ = jax.lax.while_loop(cond, body, state)
-    return out, t
+    lens0 = jnp.ones((B,), jnp.int32)
+    state = (jnp.int32(1), tok0, last_pos + 1.0, cache, done0, out0, lens0,
+             rng)
+    t, _, _, _, _, out, lens, _ = jax.lax.while_loop(cond, body, state)
+    return out, t, lens

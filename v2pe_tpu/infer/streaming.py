@@ -54,8 +54,10 @@ def _decode_chunk(params, cfg: VLMConfig, gc: GenerationConfig, cache,
     B = tok.shape[0]
     out = jnp.zeros((B, chunk), jnp.int32)
 
+    cnt = jnp.zeros((B,), jnp.int32)
+
     def body(i, state):
-        cache, tok, pos, done, out, key = state
+        cache, tok, pos, done, out, cnt, key = state
         key, sub = jax.random.split(key)
         emb = llm["tok_embeddings"][tok][:, None, :]
         logits, cache = internlm2.llm_forward(
@@ -64,13 +66,14 @@ def _decode_chunk(params, cfg: VLMConfig, gc: GenerationConfig, cache,
         nxt = _sample(logits[:, -1], gc, sub).astype(jnp.int32)
         nxt = jnp.where(done, 0, nxt)
         out = out.at[:, i].set(nxt)
+        cnt = cnt + jnp.where(done, 0, 1)  # valid iff row not done yet
         if eos.size:
             done = done | jnp.isin(nxt, eos)
-        return (cache, nxt, pos + 1.0, done, out, key)
+        return (cache, nxt, pos + 1.0, done, out, cnt, key)
 
-    cache, tok, pos, done, out, rng = jax.lax.fori_loop(
-        0, chunk, body, (cache, tok, pos, done, out, rng))
-    return cache, tok, pos, done, out, rng
+    cache, tok, pos, done, out, cnt, rng = jax.lax.fori_loop(
+        0, chunk, body, (cache, tok, pos, done, out, cnt, rng))
+    return cache, tok, pos, done, out, cnt, rng
 
 
 def stream_generate(
@@ -101,18 +104,12 @@ def stream_generate(
     emitted = 1
     while emitted < gc.max_new_tokens and not bool(done[0]):
         n = min(chunk, gc.max_new_tokens - emitted)
-        cache, tok, pos, done, out, rng = _decode_chunk(
+        cache, tok, pos, done, out, cnt, rng = _decode_chunk(
             params, cfg, gc, cache, tok, pos, done, rng, chunk=n,
             attn_impl=attn_impl)
-        out = np.asarray(out[0])
-        # trim after eos inside the chunk
-        keep = []
-        for t in out:
-            if int(t) == 0:
-                break
-            keep.append(int(t))
-            if int(t) in eos:
-                break
+        # slice by the chunk's valid-token count (token id 0 can be a real
+        # vocab item, so no sentinel scanning)
+        keep = [int(t) for t in np.asarray(out[0])[:int(cnt[0])]]
         emitted += n
         if keep:
             yield np.asarray(keep, np.int32)

@@ -226,10 +226,12 @@ def llm_forward(
     # baselines, cfg.rope_mode; v2pe/default are pass-through)
     from v2pe_tpu.ops.rope import scale_positions
 
+    total_ctx = S if kv_cache is None else kv_cache.length + S
     scaled_pos, theta = scale_positions(
         rope_pos_ids.astype(jnp.float32), cfg.head_dim, cfg.rope_theta,
         mode=cfg.rope_mode, scaling_factor=cfg.rope_scaling_factor,
-        max_position_embeddings=cfg.max_position_embeddings, seq_len=S)
+        max_position_embeddings=cfg.max_position_embeddings,
+        seq_len=total_ctx)
     cos, sin = compute_rope_cos_sin(scaled_pos, cfg.head_dim, theta)
 
     if kv_cache is None:

@@ -225,11 +225,14 @@ def chunked_cross_entropy(hidden, output_kernel, targets, loss_weight=None,
 
     from v2pe_tpu.parallel import context as pctx
 
-    if n == 1 or pctx.current() is not None:
-        # single chunk, or running under a mesh: scanning a reshaped
-        # sharded sequence dim trips an XLA-CPU CHECK (and under a mesh the
-        # logits are sharded over batch x seq anyway, so the full-logits CE
-        # is already bounded per device)
+    ctx = pctx.current()
+    seq_sharded = ctx is not None and ctx.seq_shards > 1
+    if n == 1 or seq_sharded:
+        # single chunk, or the sequence axis itself is sharded: reshaping a
+        # seq-sharded dim for the scan trips an XLA-CPU CHECK, and with seq
+        # shards the per-device logits are already bounded at (S/shards, V).
+        # On a data/fsdp-only mesh we DO chunk — each device would otherwise
+        # materialize its rows' full (S, V) fp32 logits (~12 GB at 32k).
         w = loss_weight if loss_weight is not None \
             else jnp.ones((B, S), jnp.float32)
         num, den = _ce_block(hidden, output_kernel, targets, w)

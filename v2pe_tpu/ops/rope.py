@@ -132,11 +132,17 @@ def scale_positions(
     if mode == "linear":
         return pos_ids / scaling_factor, base
     if mode == "dynamic":
+        # seq_len must be the TOTAL context (cache length + new tokens) so
+        # cached decode rescales the base exactly like the reference, which
+        # keys off kv_seq_len (modeling_internlm2.py:355-372). Traced-safe:
+        # jnp.where instead of python control flow (cache length is traced).
         s = seq_len if seq_len is not None else pos_ids.shape[-1]
-        if s > max_position_embeddings:
-            base = base * (
-                (scaling_factor * s / max_position_embeddings)
-                - (scaling_factor - 1)
-            ) ** (head_dim / (head_dim - 2))
+        s = jnp.asarray(s, jnp.float32)
+        scaled = base * (
+            (scaling_factor * s / max_position_embeddings)
+            - (scaling_factor - 1)
+        ) ** (head_dim / (head_dim - 2))
+        base = jnp.where(s > max_position_embeddings, scaled,
+                         jnp.asarray(base, jnp.float32))
         return pos_ids, base
     raise NotImplementedError(mode)

@@ -23,7 +23,8 @@ from v2pe_tpu.core.config import MeshConfig, VLMConfig
 from v2pe_tpu.data.packing import PackedSampleIterator, collate_rows
 from v2pe_tpu.parallel.mesh import make_mesh
 from v2pe_tpu.train.optimizer import TrainConfig, build_optimizer, lr_schedule
-from v2pe_tpu.train.train_step import make_train_step, shard_params
+from v2pe_tpu.train.train_step import (init_opt_state, make_train_step,
+                                       shard_params)
 
 logger = logging.getLogger(__name__)
 
@@ -94,7 +95,7 @@ def train(
     tx = build_optimizer(tc, params)
     if mesh is not None:
         params = shard_params(params, mesh)
-    opt_state = tx.init(params)
+    opt_state = init_opt_state(tx, params, mesh)
     step_fn = make_train_step(cfg, tx, mesh, img_context_token_id,
                               attn_impl=attn_impl, remat=True)
 
@@ -112,6 +113,11 @@ def train(
 
     def make_batch():
         rows = [next(row_iter) for _ in range(run.rows_per_batch)]
+        # snapshot the packer state that corresponds to THIS batch being
+        # consumed — saving packer.state_dict() at checkpoint time would
+        # reflect samples already pulled into prefetched-but-unconsumed
+        # batches (queue depth + in-flight) and silently skip data on resume
+        data_state = packer.state_dict()
         batch = collate_rows(
             rows, max_tokens=run.max_packed_tokens, max_tiles=run.max_tiles,
             img_context_token_id=img_context_token_id,
@@ -119,16 +125,17 @@ def train(
             loss_reduction=run.loss_reduction, seq_shards=seq_shards,
             pixel_dtype=pixel_dtype)
         batch.pop("statistics")
-        return batch
+        return batch, data_state
 
     prefetch = Prefetcher(make_batch)
     sched = lr_schedule(tc)
     t_last = time.time()
     tokens_since = 0
 
+    consumed_state = None
     try:
         for step in range(start_step, run.max_steps):
-            batch = prefetch.next()
+            batch, consumed_state = prefetch.next()
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             params, opt_state, metrics = step_fn(params, opt_state, batch)
             tokens_since += run.rows_per_batch * run.max_packed_tokens
@@ -151,7 +158,8 @@ def train(
             if (step + 1) % run.save_steps == 0 or step + 1 == run.max_steps:
                 path = ckpt_lib.save_checkpoint(
                     run.output_dir, step + 1, params, opt_state,
-                    data_state=packer.state_dict(),
+                    data_state=(consumed_state if consumed_state is not None
+                                else packer.state_dict()),
                     save_total_limit=run.save_total_limit)
                 logger.info("saved %s", path)
     finally:
