@@ -28,20 +28,31 @@ def _ocp():
 def save_checkpoint(ckpt_dir: str, step: int, params, opt_state,
                     data_state: Optional[dict] = None,
                     save_total_limit: Optional[int] = None):
+    """Multi-host aware: the orbax saves are collective (all processes must
+    call this); the packed-data iterator state is PER-HOST (each host packs
+    its own dataset shard) so it lands in ``data_state_p{i}.pkl``; meta.json
+    and pruning are process-0 only."""
     ocp = _ocp()
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(os.path.join(path, "params"), params)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(os.path.join(path, "opt_state"), opt_state)
+    pid = jax.process_index()
     if data_state is not None:
         # rng state tuples aren't JSON-safe; pickle the sidecar
-        with open(os.path.join(path, "data_state.pkl"), "wb") as f:
+        with open(os.path.join(path, f"data_state_p{pid}.pkl"), "wb") as f:
             pickle.dump(data_state, f)
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"step": step}, f)
+    if pid == 0:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"step": step,
+                       "num_processes": jax.process_count()}, f)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
 
-    if save_total_limit:
+        multihost_utils.sync_global_devices(f"v2pe_ckpt_save_{step}")
+
+    if save_total_limit and pid == 0:
         steps = sorted(list_checkpoints(ckpt_dir))
         for s in steps[:-save_total_limit]:
             shutil.rmtree(os.path.join(ckpt_dir, f"step_{s:08d}"),
@@ -81,7 +92,10 @@ def restore_checkpoint(path: str, params_template, opt_state_template):
     params = _restore("params", params_template)
     opt_state = _restore("opt_state", opt_state_template)
     data_state = None
-    ds_path = os.path.join(path, "data_state.pkl")
+    ds_path = os.path.join(
+        path, f"data_state_p{jax.process_index()}.pkl")
+    if not os.path.exists(ds_path):  # pre-multihost layout
+        ds_path = os.path.join(path, "data_state.pkl")
     if os.path.exists(ds_path):
         with open(ds_path, "rb") as f:
             data_state = pickle.load(f)

@@ -53,6 +53,16 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["default", "v2pe_fix", "v2pe_rnd"])
     p.add_argument("--rope_pos_id_stride", type=int, default=64)
     # parallelism (replaces --attn_type ring --chunk_num N + DeepSpeed cfg)
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. 'cpu' for multi-process "
+                        "smoke tests on one machine; the env var alone is "
+                        "overridden by the image's TPU pin)")
+    p.add_argument("--launcher", default="auto",
+                   choices=["auto", "env", "slurm", "mpi", "tpu", "none"],
+                   help="multi-host bootstrap detection "
+                        "(dist_utils.py:32-104 analogue); 'auto' inspects "
+                        "env vars, 'none' forces single-process")
+    p.add_argument("--coordinator_port", type=int, default=8476)
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_fsdp", type=int, default=1)
     p.add_argument("--mesh_seq", type=int, default=1,
@@ -80,6 +90,16 @@ def build_argparser() -> argparse.ArgumentParser:
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = build_argparser().parse_args(argv)
+
+    # multi-host bootstrap BEFORE any device use (jax.distributed requires
+    # initialization before backends are touched)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu":
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    from v2pe_tpu.parallel.bootstrap import initialize_distributed
+
+    initialize_distributed(args.launcher, args.coordinator_port)
 
     import dataclasses
 
@@ -122,7 +142,11 @@ def main(argv=None):
         min_dynamic_patch=args.min_dynamic_patch,
         rope_pos_id_version=args.rope_pos_id_version,
         rope_pos_id_stride=args.rope_pos_id_stride,
-        seed=args.seed)
+        seed=args.seed,
+        # per-host dataset sharding: each process packs distinct data
+        # (LazySupervisedDataset rank-cache analogue, :397-438)
+        data_rank=jax.process_index(),
+        data_world_size=jax.process_count())
     packer = PackedSampleIterator(
         dsets, max_tokens=args.max_packed_tokens,
         max_tiles_per_row=args.max_tiles, seed=args.seed,

@@ -21,7 +21,7 @@ import numpy as np
 from v2pe_tpu.core import checkpoint as ckpt_lib
 from v2pe_tpu.core.config import MeshConfig, VLMConfig
 from v2pe_tpu.data.packing import PackedSampleIterator, collate_rows
-from v2pe_tpu.parallel.mesh import make_mesh
+from v2pe_tpu.parallel.bootstrap import make_global_batch, make_global_mesh
 from v2pe_tpu.train.optimizer import TrainConfig, build_optimizer, lr_schedule
 from v2pe_tpu.train.train_step import (init_opt_state, make_train_step,
                                        shard_params)
@@ -87,9 +87,15 @@ def train(
     pixel_dtype=np.float32,
     metrics_hook: Optional[Callable[[int, dict], None]] = None,
 ):
-    """Run the training loop; returns (params, opt_state, step)."""
-    mesh = make_mesh(mesh_cfg) if mesh_cfg and mesh_cfg.num_devices > 1 \
-        else None
+    """Run the training loop; returns (params, opt_state, step).
+
+    Multi-host: call parallel.bootstrap.initialize_distributed() first (the
+    CLI does); the mesh then spans all processes with the data axis on DCN,
+    each host packs its own dataset shard (build_datasets data_rank /
+    data_world_size), and per-host batches are assembled into global arrays
+    — ``run.rows_per_batch`` is the PER-HOST row count."""
+    mesh = make_global_mesh(mesh_cfg) if mesh_cfg and \
+        mesh_cfg.num_devices > 1 else None
     seq_shards = mesh_cfg.seq if mesh_cfg else 1
 
     tx = build_optimizer(tc, params)
@@ -136,7 +142,11 @@ def train(
     try:
         for step in range(start_step, run.max_steps):
             batch, consumed_state = prefetch.next()
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                batch = make_global_batch(
+                    batch, mesh, vit_rows_per_tile=cfg.num_image_token)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
             params, opt_state, metrics = step_fn(params, opt_state, batch)
             tokens_since += run.rows_per_batch * run.max_packed_tokens
 
