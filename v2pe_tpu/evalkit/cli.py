@@ -24,7 +24,9 @@ import os
 def build_argparser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--benchmark", required=True,
-                   choices=["mm_niah", "milebench", "longvqa", "vqa"])
+                   choices=["mm_niah", "milebench", "longvqa", "vqa",
+                            "mmmu", "mmbench", "pope", "scienceqa", "seed",
+                            "video"])
     p.add_argument("--checkpoint", required=True,
                    help="orbax step dir (params/) or HF safetensors dir")
     p.add_argument("--config-preset", default="internvl2_2b")
@@ -41,6 +43,15 @@ def build_argparser():
     p.add_argument("--rope_pos_id_stride", type=int,
                    default=int(os.environ.get("STRIDE", 0)) or None)
     p.add_argument("--score-only", action="store_true")
+    # general-suite extras
+    p.add_argument("--language", default="en", choices=["en", "cn"],
+                   help="mmbench instruction language")
+    p.add_argument("--pope-label-dir", default=None,
+                   help="dir of coco_pope_<category>.json label files")
+    p.add_argument("--data-root", default=None,
+                   help="image/video root (milebench, video suite)")
+    p.add_argument("--num-frames", type=int, default=16,
+                   help="video suite frames per clip")
     return p
 
 
@@ -112,10 +123,110 @@ def main(argv=None):
             runner.merge_shards([out], merged)
             print(json.dumps(mm_niah.score_jsonl(merged, args.task),
                              indent=2))
+    elif args.benchmark in ("mmmu", "mmbench", "pope", "scienceqa", "seed"):
+        from v2pe_tpu.evalkit import general, mmbench, runner
+
+        def _score(merged):
+            label_files = None
+            if args.benchmark == "pope" and args.pope_label_dir:
+                label_files = {
+                    f[10:-5]: os.path.join(args.pope_label_dir, f)
+                    for f in os.listdir(args.pope_label_dir)
+                    if f.startswith("coco_pope_")}
+            return general.score_file(args.benchmark, merged,
+                                      pope_label_files=label_files)
+
+        merged = os.path.join(args.outputs_dir, f"{args.benchmark}.jsonl")
+        if args.score_only:
+            print(json.dumps(_score(merged), indent=2))
+            return
+        model = load_chat_model(args)
+        from v2pe_tpu.infer.generate import GenerationConfig
+
+        infer = general.build_infer_fn(
+            args.benchmark, model, max_tiles=args.max_num,
+            language=args.language,
+            rope_pos_id_version=args.rope_pos_id_version,
+            rope_pos_id_stride=args.rope_pos_id_stride,
+            generation_config=GenerationConfig(
+                max_new_tokens=args.max_new_tokens))
+        if args.data.endswith(".tsv"):  # mmbench distribution format
+            items = mmbench.read_tsv(args.data)
+        else:
+            items = [json.loads(l) for l in open(args.data)]
+        out = os.path.join(args.outputs_dir,
+                           f"{args.benchmark}.rank{args.rank}.jsonl")
+        id_key = general.ID_KEYS[args.benchmark]
+        n = runner.run_shard(items, infer, out, rank=args.rank,
+                             world=args.world, id_key=id_key)
+        logging.info("answered %d items -> %s", n, out)
+        if args.rank == 0 and args.world == 1:
+            runner.merge_shards([out], merged, id_key=id_key)
+            if args.benchmark == "mmbench":
+                sub = os.path.join(args.outputs_dir,
+                                   "mmbench_submission.jsonl")
+                outputs = [json.loads(l) for l in open(merged)]
+                mmbench.write_submission(items, outputs, sub)
+                logging.info("submission -> %s", sub)
+            print(json.dumps(_score(merged), indent=2))
+    elif args.benchmark == "milebench":
+        from v2pe_tpu.evalkit import milebench, milebench_adapter, runner
+
+        merged = os.path.join(args.outputs_dir, f"{args.task}.jsonl")
+        if args.score_only:
+            preds = [json.loads(l) for l in open(merged)]
+            print(json.dumps(milebench.evaluate_multichoice(preds), indent=2))
+            return
+        model = load_chat_model(args)
+        from v2pe_tpu.infer.generate import GenerationConfig
+
+        infer = milebench_adapter.build_infer_fn(
+            model, data_root=args.data_root or os.path.dirname(args.data),
+            max_tiles_total=args.max_num,
+            rope_pos_id_version=args.rope_pos_id_version,
+            rope_pos_id_stride=args.rope_pos_id_stride,
+            generation_config=GenerationConfig(
+                max_new_tokens=args.max_new_tokens))
+        items = [json.loads(l) for l in open(args.data)]
+        out = os.path.join(args.outputs_dir,
+                           f"{args.task}.rank{args.rank}.jsonl")
+        n = runner.run_shard(items, infer, out, rank=args.rank,
+                             world=args.world)
+        logging.info("answered %d items -> %s", n, out)
+        if args.rank == 0 and args.world == 1:
+            preds = runner.merge_shards([out], merged)
+            print(json.dumps(milebench.evaluate_multichoice(preds), indent=2))
+    elif args.benchmark == "video":
+        from v2pe_tpu.evalkit import runner, video
+
+        merged = os.path.join(args.outputs_dir, f"{args.task}.jsonl")
+        if args.score_only:
+            results = [json.loads(l) for l in open(merged)]
+            print(json.dumps(video.score(results), indent=2))
+            return
+        model = load_chat_model(args)
+        from v2pe_tpu.infer.generate import GenerationConfig
+
+        infer = video.build_infer_fn(
+            model, data_root=args.data_root or os.path.dirname(args.data),
+            num_frames=args.num_frames,
+            rope_pos_id_version=args.rope_pos_id_version,
+            rope_pos_id_stride=args.rope_pos_id_stride,
+            generation_config=GenerationConfig(
+                max_new_tokens=args.max_new_tokens))
+        items = [json.loads(l) for l in open(args.data)]
+        out = os.path.join(args.outputs_dir,
+                           f"{args.task}.rank{args.rank}.jsonl")
+        n = runner.run_shard(items, infer, out, rank=args.rank,
+                             world=args.world)
+        logging.info("answered %d items -> %s", n, out)
+        if args.rank == 0 and args.world == 1:
+            results = runner.merge_shards([out], merged)
+            print(json.dumps(video.score(results), indent=2))
     else:
         raise SystemExit(
             f"benchmark {args.benchmark}: use the library adapters "
-            "(v2pe_tpu.evalkit.milebench / longvqa) — CLI wiring lands with "
+            "(v2pe_tpu.evalkit.longvqa / vqa) — CLI wiring lands with "
             "their dataset formats")
 
 
