@@ -51,7 +51,9 @@ def read_video_frames(path: str, num_frames: int, sample: str = "rand",
     """Frame extraction without decord (absent on this image): cv2 for video
     files, imageio for GIFs. Parity with get_frame_indices/read_frames_*
     (dataset.py:35-197): 'rand' samples one frame per equal interval,
-    'middle' takes interval midpoints."""
+    'middle' takes interval midpoints, 'fpsX.Y' samples sequentially at X.Y
+    frames/sec of wall time (dataset.py:61-71; the real stream fps comes
+    from the container), truncated at num_frames."""
     from PIL import Image
 
     rng = rng or random
@@ -61,6 +63,8 @@ def read_video_frames(path: str, num_frames: int, sample: str = "rand",
 
         gif = imageio.get_reader(path)
         vlen = gif.get_length()
+        # the reference's GIF reader passes no input_fps (dataset.py:189);
+        # fps mode therefore treats GIFs as 1 fps, same as here
         idxs = _frame_indices(vlen, num_frames, sample, rng)
         frames = []
         for i, frame in enumerate(gif):
@@ -71,7 +75,9 @@ def read_video_frames(path: str, num_frames: int, sample: str = "rand",
 
     cap = cv2.VideoCapture(path)
     vlen = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-    idxs = set(_frame_indices(vlen, num_frames, sample, rng))
+    input_fps = float(cap.get(cv2.CAP_PROP_FPS)) or 1.0
+    idxs = set(_frame_indices(vlen, num_frames, sample, rng,
+                              input_fps=input_fps))
     frames = []
     i = 0
     while True:
@@ -85,7 +91,21 @@ def read_video_frames(path: str, num_frames: int, sample: str = "rand",
     return frames
 
 
-def _frame_indices(vlen: int, num_frames: int, sample: str, rng) -> List[int]:
+def _frame_indices(vlen: int, num_frames: int, sample: str, rng,
+                   input_fps: float = 1.0) -> List[int]:
+    if sample.startswith("fps"):
+        # sequential sampling at output_fps frames per second of wall time,
+        # midpoints of 1/output_fps-second clips (dataset.py:61-71);
+        # num_frames acts as the reference's max_num_frames truncation
+        output_fps = float(sample[3:])
+        duration = float(vlen) / input_fps
+        delta = 1.0 / output_fps
+        seconds = np.arange(delta / 2, duration + delta / 2, delta)
+        idxs = np.around(seconds * input_fps).astype(int)
+        idxs = [int(e) for e in idxs if e < vlen]
+        if num_frames > 0 and len(idxs) > num_frames:
+            idxs = idxs[:num_frames]
+        return idxs
     num_frames = min(num_frames, max(vlen, 1))
     intervals = np.linspace(0, vlen, num_frames + 1).astype(int)
     ranges = [(intervals[i], max(intervals[i] + 1, intervals[i + 1]))

@@ -26,7 +26,7 @@ def build_argparser():
     p.add_argument("--benchmark", required=True,
                    choices=["mm_niah", "milebench", "longvqa", "vqa",
                             "mmmu", "mmbench", "pope", "scienceqa", "seed",
-                            "video"])
+                            "video", "videomme", "mvbench", "mlvu"])
     p.add_argument("--checkpoint", required=True,
                    help="orbax step dir (params/) or HF safetensors dir")
     p.add_argument("--config-preset", default="internvl2_2b")
@@ -52,6 +52,9 @@ def build_argparser():
                    help="image/video root (milebench, video suite)")
     p.add_argument("--num-frames", type=int, default=16,
                    help="video suite frames per clip")
+    p.add_argument("--frame-sample", default="middle",
+                   help="frame sampling: rand | middle | fpsX.Y "
+                        "(dataset.py:35-71 parity)")
     return p
 
 
@@ -196,33 +199,49 @@ def main(argv=None):
         if args.rank == 0 and args.world == 1:
             preds = runner.merge_shards([out], merged)
             print(json.dumps(milebench.evaluate_multichoice(preds), indent=2))
-    elif args.benchmark == "video":
+    elif args.benchmark in ("video", "videomme", "mvbench", "mlvu"):
         from v2pe_tpu.evalkit import runner, video
 
         merged = os.path.join(args.outputs_dir, f"{args.task}.jsonl")
+
+        def _vscore(results):
+            if args.benchmark == "video":
+                return video.score(results)
+            return video.score_buckets(
+                results, video.VIDEO_BUCKET_KEYS[args.benchmark])
+
         if args.score_only:
             results = [json.loads(l) for l in open(merged)]
-            print(json.dumps(video.score(results), indent=2))
+            print(json.dumps(_vscore(results), indent=2))
             return
         model = load_chat_model(args)
         from v2pe_tpu.infer.generate import GenerationConfig
 
-        infer = video.build_infer_fn(
-            model, data_root=args.data_root or os.path.dirname(args.data),
-            num_frames=args.num_frames,
-            rope_pos_id_version=args.rope_pos_id_version,
-            rope_pos_id_stride=args.rope_pos_id_stride,
-            generation_config=GenerationConfig(
-                max_new_tokens=args.max_new_tokens))
+        gc = GenerationConfig(max_new_tokens=args.max_new_tokens)
+        root = args.data_root or os.path.dirname(args.data)
+        if args.benchmark == "video":
+            infer = video.build_infer_fn(
+                model, data_root=root, num_frames=args.num_frames,
+                rope_pos_id_version=args.rope_pos_id_version,
+                rope_pos_id_stride=args.rope_pos_id_stride,
+                generation_config=gc)
+        else:
+            infer = video.build_mc_video_infer_fn(
+                args.benchmark, model, data_root=root,
+                num_frames=args.num_frames, sample=args.frame_sample,
+                rope_pos_id_version=args.rope_pos_id_version,
+                rope_pos_id_stride=args.rope_pos_id_stride,
+                generation_config=gc)
         items = [json.loads(l) for l in open(args.data)]
         out = os.path.join(args.outputs_dir,
                            f"{args.task}.rank{args.rank}.jsonl")
+        vid_key = "question_id" if args.benchmark == "videomme" else "id"
         n = runner.run_shard(items, infer, out, rank=args.rank,
-                             world=args.world)
+                             world=args.world, id_key=vid_key)
         logging.info("answered %d items -> %s", n, out)
         if args.rank == 0 and args.world == 1:
-            results = runner.merge_shards([out], merged)
-            print(json.dumps(video.score(results), indent=2))
+            results = runner.merge_shards([out], merged, id_key=vid_key)
+            print(json.dumps(_vscore(results), indent=2))
     else:
         raise SystemExit(
             f"benchmark {args.benchmark}: use the library adapters "
