@@ -141,14 +141,33 @@ def _mlp(p: dict, cfg: VisionConfig, x):
                    ).astype(x.dtype) + p["fc2_bias"]
 
 
-def layer_forward(p: dict, cfg: VisionConfig, x, attn_impl: str):
+def drop_path(x: jnp.ndarray, rate, rng) -> jnp.ndarray:
+    """Stochastic depth on a residual branch: per-SAMPLE Bernoulli keep mask
+    scaled by 1/keep_prob (timm DropPath semantics, the dependency the
+    reference wraps at modeling_intern_vit.py:213-214). `rate` may be a
+    traced scalar (per-layer schedule rides the layer scan)."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.where(mask, x.astype(jnp.float32) / keep, 0.0).astype(x.dtype)
+
+
+def layer_forward(p: dict, cfg: VisionConfig, x, attn_impl: str,
+                  dp_rate=None, dp_rngs=None):
     """Pre-norm + LayerScale residual block (modeling_intern_vit.py:219-228).
-    DropPath is identity (rate 0 for the 300M tower; training-time stochastic
-    depth can be added via rng plumbing when needed)."""
+    With dp_rate + dp_rngs (2 keys), each residual branch goes through
+    DropPath — training-time stochastic depth (:224-226); the published
+    V2PE recipes train with --drop_path_rate 0.1
+    (shell/internlm2_2b/*_v2pe_32k.sh)."""
     h = _norm(cfg, x, p["norm1"], p.get("norm1_bias"))
-    x = x + _attention(p, cfg, h, attn_impl) * p["ls1"]
+    branch = _attention(p, cfg, h, attn_impl) * p["ls1"]
+    if dp_rate is not None:
+        branch = drop_path(branch, dp_rate, dp_rngs[0])
+    x = x + branch
     h = _norm(cfg, x, p["norm2"], p.get("norm2_bias"))
-    x = x + _mlp(p, cfg, h) * p["ls2"]
+    branch = _mlp(p, cfg, h) * p["ls2"]
+    if dp_rate is not None:
+        branch = drop_path(branch, dp_rate, dp_rngs[1])
+    x = x + branch
     return x
 
 
@@ -160,9 +179,15 @@ def vision_forward(
     select_layer: int = -1,
     attn_impl: str = "auto",
     remat: bool = False,
+    drop_path_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Full encoder. Returns (B, 1+N, D) hidden states of the selected layer
     (select_layer=-1 -> last; -4 -> 3 layers early, like config.select_layer).
+
+    drop_path_rng: pass a PRNG key during TRAINING to enable stochastic
+    depth with the linear per-layer rate schedule linspace(0,
+    cfg.drop_path_rate, L) (modeling_intern_vit.py:245); None (inference)
+    keeps layers deterministic.
     """
     x = embeddings_forward(params["embeddings"], cfg, pixel_values)
 
@@ -171,13 +196,28 @@ def vision_forward(
         num_layers = num_layers + 1 + select_layer
         assert 0 < num_layers <= cfg.num_hidden_layers
 
+    use_dp = drop_path_rng is not None and cfg.drop_path_rate > 0.0
+
     body = layer_forward
     if remat:
         body = jax.checkpoint(body, static_argnums=(1, 3))
 
-    def scan_body(x, layer_params):
-        return body(layer_params, cfg, x, attn_impl), None
-
     layers = jax.tree.map(lambda a: a[:num_layers], params["layers"])
-    x, _ = jax.lax.scan(scan_body, x, layers)
+    if use_dp:
+        dpr = jnp.linspace(0.0, cfg.drop_path_rate, cfg.num_hidden_layers
+                           )[:num_layers]
+        keys = jax.random.split(drop_path_rng, num_layers * 2
+                                ).reshape(num_layers, 2, -1)
+
+        def scan_body(x, inp):
+            layer_params, rate, ks = inp
+            return body(layer_params, cfg, x, attn_impl, rate,
+                        (ks[0], ks[1])), None
+
+        x, _ = jax.lax.scan(scan_body, x, (layers, dpr, keys))
+    else:
+        def scan_body(x, layer_params):
+            return body(layer_params, cfg, x, attn_impl), None
+
+        x, _ = jax.lax.scan(scan_body, x, layers)
     return x

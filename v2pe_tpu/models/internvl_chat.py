@@ -45,11 +45,13 @@ def pixel_shuffle(x: jnp.ndarray, scale_factor: float, ps_version: str = "v2"):
 
 
 def extract_feature(params: dict, cfg: VLMConfig, pixel_values: jnp.ndarray,
-                    *, attn_impl: str = "auto", remat: bool = False):
+                    *, attn_impl: str = "auto", remat: bool = False,
+                    drop_path_rng=None):
     """(N_tiles, 3, S, S) -> (N_tiles, num_image_token, llm_hidden)."""
     vit_out = intern_vit.vision_forward(
         params["vision"], cfg.vision, pixel_values,
-        select_layer=cfg.select_layer, attn_impl=attn_impl, remat=remat)
+        select_layer=cfg.select_layer, attn_impl=attn_impl, remat=remat,
+        drop_path_rng=drop_path_rng)
     vit_embeds = vit_out[:, 1:, :]  # drop CLS
     n, num_patches, c = vit_embeds.shape
     hw = int(round(num_patches ** 0.5))
@@ -150,12 +152,14 @@ def forward(
     loss_weight_sum: Optional[jnp.ndarray] = None,  # global pmean'd sum
     attn_impl: str = "auto",
     remat: bool = False,
+    drop_path_rng=None,
 ) -> VLMOutput:
     llm = params["llm"]
     input_embeds = llm["tok_embeddings"][input_ids]
 
     vit_embeds = extract_feature(params, cfg, pixel_values,
-                                 attn_impl=attn_impl, remat=remat)
+                                 attn_impl=attn_impl, remat=remat,
+                                 drop_path_rng=drop_path_rng)
     if vit_gather_idx is not None:
         input_embeds = scatter_image_embeds_by_index(
             input_embeds, vit_embeds, vit_gather_idx)

@@ -86,7 +86,11 @@ def detect_env(coordinator_port: int = 8476) -> DistEnv:
             num_processes=int(env["OMPI_COMM_WORLD_SIZE"]),
             coordinator=env.get("V2PE_COORDINATOR",
                                 f"127.0.0.1:{coordinator_port}"))
-    if "TPU_WORKER_HOSTNAMES" in env or "MEGASCALE_COORDINATOR_ADDRESS" in env:
+    tpu_workers = [h for h in env.get("TPU_WORKER_HOSTNAMES", "").split(",")
+                   if h]
+    if len(tpu_workers) > 1 or "MEGASCALE_COORDINATOR_ADDRESS" in env:
+        # single-worker images also export TPU_WORKER_HOSTNAMES=localhost;
+        # only a real multi-worker pod needs the distributed runtime
         return DistEnv(launcher="tpu", process_id=-1, num_processes=-1,
                        coordinator=None)
     return DistEnv(launcher="none", process_id=0, num_processes=1,

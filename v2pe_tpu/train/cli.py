@@ -68,6 +68,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_seq", type=int, default=1,
                    help="ring-attention shards (reference chunk_num)")
     p.add_argument("--mesh_tensor", type=int, default=1)
+    # training-recipe knobs (internvl_chat_finetune.py:110-150)
+    p.add_argument("--drop_path_rate", type=float, default=0.0,
+                   help="ViT stochastic depth; published V2PE recipes "
+                        "use 0.1")
+    p.add_argument("--freeze_llm", action="store_true")
+    p.add_argument("--freeze_backbone", action="store_true")
+    p.add_argument("--freeze_mlp", action="store_true")
+    p.add_argument("--unfreeze_lm_head", action="store_true")
+    p.add_argument("--unfreeze_vit_layers", type=int, default=0)
     # optimizer
     p.add_argument("--learning_rate", type=float, default=4e-5)
     p.add_argument("--weight_decay", type=float, default=0.01)
@@ -120,7 +129,9 @@ def main(argv=None):
         rope_pos_id_stride=args.rope_pos_id_stride,
         max_dynamic_patch=args.max_dynamic_patch,
         min_dynamic_patch=args.min_dynamic_patch,
-        force_image_size=args.force_image_size)
+        force_image_size=args.force_image_size,
+        vision=dataclasses.replace(cfg.vision,
+                                   drop_path_rate=args.drop_path_rate))
 
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer,
                                               trust_remote_code=True)
@@ -167,7 +178,10 @@ def main(argv=None):
         warmup_steps=args.warmup_steps, total_steps=args.max_steps,
         max_grad_norm=args.max_grad_norm, vit_lr_scale=args.vit_lr_scale,
         vit_layer_decay_rate=args.vit_layer_decay_rate,
-        grad_accum_steps=args.grad_accum_steps)
+        grad_accum_steps=args.grad_accum_steps,
+        freeze_llm=args.freeze_llm, freeze_backbone=args.freeze_backbone,
+        freeze_mlp=args.freeze_mlp, unfreeze_lm_head=args.unfreeze_lm_head,
+        unfreeze_vit_layers=args.unfreeze_vit_layers)
 
     import ml_dtypes
     import numpy as np

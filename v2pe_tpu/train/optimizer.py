@@ -34,6 +34,14 @@ class TrainConfig:
     llm_layer_decay_rate: float = 1.0
     layer_scale_lr_scale: float = 1.0  # SCALE for ls1/ls2 (compress-seq :113)
     grad_accum_steps: int = 1
+    # freeze flags (internvl_chat_finetune.py:110-138, applied :1375-1400):
+    # frozen subtrees get zero gradient before Adam, so moments stay clean
+    freeze_llm: bool = False
+    freeze_backbone: bool = False
+    freeze_mlp: bool = False
+    unfreeze_lm_head: bool = False       # with freeze_llm: train output head
+    unfreeze_vit_layers: int = 0         # e.g. -4: last 4 ViT layers train
+                                         # even under freeze_backbone
 
 
 def _path_str(path) -> str:
@@ -78,6 +86,44 @@ def lr_scale_tree(params, tc: TrainConfig):
     return jax.tree_util.tree_map_with_path(visit, params)
 
 
+def freeze_mask_tree(params, tc: TrainConfig):
+    """Per-leaf 0/1 trainability multipliers for the freeze flags.
+
+    Mirrors _freeze_params + the unfreeze carve-outs
+    (internvl_chat_finetune.py:1375-1400). Stacked ViT layer tensors get a
+    per-layer (L,1,..) vector so ``unfreeze_vit_layers`` (negative index:
+    keep the last |n| layers trainable) works on the scanned layout."""
+
+    def visit(path, leaf):
+        p = _path_str(path)
+        trainable = 1.0
+        if tc.freeze_backbone and p.startswith("vision/"):
+            trainable = 0.0
+        if tc.freeze_llm and p.startswith("llm/"):
+            trainable = 0.0
+        if tc.freeze_mlp and p.startswith("mlp1/"):
+            trainable = 0.0
+        if tc.unfreeze_lm_head and p == "llm/output_kernel":
+            trainable = 1.0
+        if (tc.unfreeze_vit_layers != 0 and p.startswith("vision/layers/")
+                and leaf.ndim >= 1):
+            L = leaf.shape[0]
+            vec = jnp.full((L,), trainable, jnp.float32)
+            idx = jnp.arange(L)
+            start = tc.unfreeze_vit_layers % L \
+                if tc.unfreeze_vit_layers < 0 else tc.unfreeze_vit_layers
+            vec = jnp.where(idx >= start, 1.0, vec)
+            return vec.reshape((L,) + (1,) * (leaf.ndim - 1))
+        return jnp.asarray(trainable, jnp.float32)
+
+    return jax.tree_util.tree_map_with_path(visit, params)
+
+
+def _any_freeze(tc: TrainConfig) -> bool:
+    return (tc.freeze_llm or tc.freeze_backbone or tc.freeze_mlp
+            or tc.unfreeze_vit_layers != 0)
+
+
 def _scale_by_tree(scales):
     def init_fn(params):
         return optax.EmptyState()
@@ -101,13 +147,23 @@ def lr_schedule(tc: TrainConfig):
 
 def build_optimizer(tc: TrainConfig, params) -> optax.GradientTransformation:
     scales = lr_scale_tree(params, tc)
-    tx = optax.chain(
+    steps = []
+    if _any_freeze(tc):
+        # zero frozen gradients FIRST: the global-norm clip and Adam moments
+        # then see exactly what a torch requires_grad=False run would
+        steps.append(_scale_by_tree(freeze_mask_tree(params, tc)))
+    steps += [
         optax.clip_by_global_norm(tc.max_grad_norm),
         optax.scale_by_adam(b1=tc.beta1, b2=tc.beta2, eps=tc.eps),
         optax.add_decayed_weights(tc.weight_decay, mask=decay_mask(params)),
         _scale_by_tree(scales),
         optax.scale_by_learning_rate(lr_schedule(tc)),
-    )
+    ]
+    if _any_freeze(tc):
+        # weight decay is additive after Adam — re-mask so frozen params
+        # receive strictly zero updates
+        steps.append(_scale_by_tree(freeze_mask_tree(params, tc)))
+    tx = optax.chain(*steps)
     if tc.grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, tc.grad_accum_steps)
     return tx

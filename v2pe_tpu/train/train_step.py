@@ -31,7 +31,8 @@ from v2pe_tpu.parallel.mesh import param_sharding
 
 
 def loss_fn(params, cfg: VLMConfig, batch, img_context_token_id: int,
-            attn_impl: str = "auto", remat: bool = True):
+            attn_impl: str = "auto", remat: bool = True,
+            drop_path_rng=None):
     out = internvl_chat.forward(
         params, cfg,
         input_ids=batch["input_ids"],
@@ -47,6 +48,7 @@ def loss_fn(params, cfg: VLMConfig, batch, img_context_token_id: int,
         loss_weight_sum=batch.get("loss_weight_sum"),
         attn_impl=attn_impl,
         remat=remat,
+        drop_path_rng=drop_path_rng,
     )
     return out.loss
 
@@ -61,9 +63,10 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation,
     ShardingContext is active during tracing so attention routes through
     shard_map (ring over 'seq' when sized)."""
 
-    def step(params, opt_state, batch):
+    def step(params, opt_state, batch, dropout_rng=None):
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, cfg, batch, img_context_token_id, attn_impl, remat)
+            params, cfg, batch, img_context_token_id, attn_impl, remat,
+            dropout_rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         gnorm = optax.global_norm(grads)
@@ -74,9 +77,9 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation,
 
     ctx = pctx.ShardingContext(mesh=mesh)
 
-    def step_with_ctx(params, opt_state, batch):
+    def step_with_ctx(params, opt_state, batch, dropout_rng=None):
         with pctx.use_sharding(ctx):
-            return step(params, opt_state, batch)
+            return step(params, opt_state, batch, dropout_rng)
 
     return jax.jit(step_with_ctx, donate_argnums=(0, 1) if donate else ())
 

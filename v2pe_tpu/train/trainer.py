@@ -138,6 +138,12 @@ def train(
     t_last = time.time()
     tokens_since = 0
 
+    # DropPath (stochastic depth) rng: only when the config trains with it
+    # (--drop_path_rate 0.1 in the published recipes); same base key on all
+    # hosts — the mask is drawn inside jit over the global batch
+    use_dp = cfg.vision.drop_path_rate > 0.0
+    dp_base = jax.random.PRNGKey(run.seed ^ 0x5EED) if use_dp else None
+
     consumed_state = None
     try:
         for step in range(start_step, run.max_steps):
@@ -147,7 +153,13 @@ def train(
                     batch, mesh, vit_rows_per_tile=cfg.num_image_token)
             else:
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            params, opt_state, metrics = step_fn(params, opt_state, batch)
+            if use_dp:
+                params, opt_state, metrics = step_fn(
+                    params, opt_state, batch,
+                    jax.random.fold_in(dp_base, step))
+            else:
+                params, opt_state, metrics = step_fn(params, opt_state,
+                                                     batch)
             tokens_since += run.rows_per_batch * run.max_packed_tokens
 
             if (step + 1) % run.log_steps == 0:
