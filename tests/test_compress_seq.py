@@ -60,3 +60,232 @@ def test_compress_gradients_flow():
     g = jax.grad(loss)(cparams)
     gnorm = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+# --------------------------------------------------------------------------
+# Cross-attention fuse (round 2): weight-split + forward goldens vs the
+# reference InternLM2CrossAttention, fuse-only inference branch, trainer
+# integration
+# --------------------------------------------------------------------------
+
+
+def _torch_cross_setup(cfg):
+    """Reference InternLM2Attention + CrossAttention with reused params."""
+    import torch
+
+    from . import reference_util
+    reference_util.install_reference()
+    from internvl.model.internlm2.configuration_internlm2 import InternLM2Config
+    from internvl.model.internlm2.modeling_internlm2 import (
+        InternLM2Attention, InternLM2CrossAttention)
+
+    lcfg = InternLM2Config(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        num_key_value_heads=cfg.num_key_value_heads, bias=cfg.bias,
+        rope_theta=cfg.rope_theta, attn_implementation="eager",
+        rope_scaling={"type": "linear", "factor": 1.0})
+    lcfg.rope_pos_id_version = "default"
+    torch.manual_seed(0)
+    self_attn = InternLM2Attention(lcfg)
+    with torch.no_grad():
+        for p in self_attn.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+    cross = InternLM2CrossAttention(lcfg)
+    cross.reuse_self_attention_params(self_attn)
+    return self_attn, cross
+
+
+def _tiny_llm():
+    from v2pe_tpu.core.config import LLMConfig
+
+    return LLMConfig(vocab_size=128, hidden_size=64, intermediate_size=96,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     num_key_value_heads=2)
+
+
+def test_cross_attn_weight_split_matches_reference():
+    """split_wqkv_for_cross == reuse_self_attention_params
+    (modeling_internlm2.py:852-878) on the same fused wqkv."""
+    import torch
+
+    from v2pe_tpu.models.compress_seq import split_wqkv_for_cross
+
+    cfg = _tiny_llm()
+    self_attn, cross = _torch_cross_setup(cfg)
+    # our kernel convention is (in, out) = torch weight.T
+    wqkv_kernel = jnp.asarray(self_attn.wqkv.weight.detach().numpy().T)
+    wq, wkv = split_wqkv_for_cross(wqkv_kernel, cfg)
+    np.testing.assert_allclose(
+        np.asarray(wq), cross.wq.weight.detach().numpy().T, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(wkv), cross.wkv.weight.detach().numpy().T, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(jnp.asarray(self_attn.wo.weight.detach().numpy().T)),
+        cross.wo.weight.detach().numpy().T, rtol=1e-6)
+
+
+def test_cross_attention_fuse_matches_reference_forward():
+    """cross_attention_fuse == InternLM2CrossAttention.forward (:909-1000)
+    with default arange position ids (the reference hardcodes .cuda() there;
+    patched to a no-op for the CPU golden)."""
+    import torch
+
+    from v2pe_tpu.models.compress_seq import (cross_attention_fuse,
+                                              split_wqkv_for_cross)
+
+    cfg = _tiny_llm()
+    self_attn, cross = _torch_cross_setup(cfg)
+    Sq, Sk = 24, 8
+    rng = np.random.RandomState(0)
+    xq = rng.randn(1, Sq, cfg.hidden_size).astype(np.float32)
+    xkv = rng.randn(1, Sk, cfg.hidden_size).astype(np.float32)
+
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        with torch.no_grad():
+            ref = cross(torch.tensor(xq), torch.tensor(xkv))
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+    fuse_p = {}
+    fuse_p["wq_kernel"], fuse_p["wkv_kernel"] = split_wqkv_for_cross(
+        jnp.asarray(self_attn.wqkv.weight.detach().numpy().T), cfg)
+    fuse_p["wo_kernel"] = jnp.asarray(self_attn.wo.weight.detach().numpy().T)
+    got = cross_attention_fuse(
+        fuse_p, cfg, jnp.asarray(xq), jnp.asarray(xkv),
+        jnp.arange(Sq, dtype=jnp.float32)[None],
+        jnp.arange(Sk, dtype=jnp.float32)[None])
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_compress_forward_cross_attn_fuse():
+    """cross-attn fuse mode: runs, differs from the add mode, gradients
+    reach the fuse weights, and chunk 0 is unaffected by the fuse (its
+    contribution is zeroed, :1280)."""
+    from v2pe_tpu.models.compress_seq import (compress_llm_forward,
+                                              init_compress_params)
+    from v2pe_tpu.models.params import init_llm_params
+
+    cfg = _tiny_llm()
+    params = init_llm_params(jax.random.PRNGKey(0), cfg)
+    cp = init_compress_params(params, cfg=cfg, fuse_method="cross-attn")
+    assert set(cp["fuse"]) == {"wq_kernel", "wkv_kernel", "wo_kernel"}
+    B, S, n = 1, 64, 4
+    rng = np.random.RandomState(1)
+    embeds = jnp.asarray(rng.randn(B, S, cfg.hidden_size), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.float32), (B, S))
+
+    lg_cross = compress_llm_forward(params, cp, cfg, embeds, pos, n,
+                                    final_size=4, attn_impl="jnp",
+                                    fuse_method="cross-attn")
+    lg_add = compress_llm_forward(params, cp, cfg, embeds, pos, n,
+                                  final_size=4, attn_impl="jnp",
+                                  fuse_method="add")
+    assert np.isfinite(np.asarray(lg_cross)).all()
+    assert not np.allclose(np.asarray(lg_cross), np.asarray(lg_add))
+
+    def loss(cp):
+        lg = compress_llm_forward(params, cp, cfg, embeds, pos, n,
+                                  final_size=4, attn_impl="jnp",
+                                  fuse_method="cross-attn")
+        return jnp.sum(lg ** 2) * 1e-6
+
+    g = jax.grad(loss)(cp)
+    assert float(jnp.abs(g["fuse"]["wq_kernel"]).sum()) > 0
+    assert float(jnp.abs(g["fuse"]["wkv_kernel"]).sum()) > 0
+
+
+def test_fuse_only_inference_branch():
+    """compress_fuse_only_forward: chunk 0's logits equal the plain chunked
+    (no-fuse) forward (no earlier context exists), later chunks see the
+    compressed context; compress2 median positions match torch.median."""
+    import torch
+
+    from v2pe_tpu.models.compress_seq import (compress2_avg,
+                                              compress_fuse_only_forward,
+                                              init_compress_params)
+    from v2pe_tpu.models.params import init_llm_params
+
+    # compress2 median parity (even bucket -> lower middle, :1286-1305)
+    pos = jnp.asarray(np.arange(16, dtype=np.float32)[None] * 3 + 1)
+    h = jnp.asarray(np.random.RandomState(0).randn(1, 16, 8), jnp.float32)
+    hc, med = compress2_avg(h, pos, final_size=4)
+    tmed = torch.tensor(np.asarray(pos)).reshape(1, 4, 4).median(dim=2).values
+    np.testing.assert_allclose(np.asarray(med), tmed.numpy())
+
+    cfg = _tiny_llm()
+    params = init_llm_params(jax.random.PRNGKey(0), cfg)
+    cp = init_compress_params(params, cfg=cfg, fuse_method="cross-attn")
+    B, S, n = 1, 64, 4
+    rng = np.random.RandomState(2)
+    embeds = jnp.asarray(rng.randn(B, S, cfg.hidden_size), jnp.float32)
+    posf = jnp.broadcast_to(jnp.arange(S, dtype=jnp.float32), (B, S))
+
+    lg = compress_fuse_only_forward(params, cp, cfg, embeds, posf, n,
+                                    final_size=4, attn_impl="jnp",
+                                    fuse_method="cross-attn")
+    assert np.isfinite(np.asarray(lg)).all()
+
+    # zero gammas -> fuse contributes nothing -> equals within-chunk-only
+    cp0 = dict(cp)
+    cp0["layer_scale"] = jnp.zeros_like(cp["layer_scale"])
+    lg0 = compress_fuse_only_forward(params, cp0, cfg, embeds, posf, n,
+                                     final_size=4, attn_impl="jnp",
+                                     fuse_method="cross-attn")
+    from v2pe_tpu.models.internlm2 import llm_forward
+    c = S // n
+    seg = jnp.broadcast_to((jnp.arange(S) // c + 1).astype(jnp.int32)[None],
+                           (B, S))
+    ref, _ = llm_forward(params, cfg, inputs_embeds=embeds,
+                         rope_pos_ids=posf, segment_ids=seg,
+                         attn_impl="jnp")
+    np.testing.assert_allclose(np.asarray(lg0), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # chunk 0 identical even with live gammas
+    np.testing.assert_allclose(np.asarray(lg[:, :c]),
+                               np.asarray(ref[:, :c]), rtol=1e-4, atol=1e-4)
+
+
+def test_compress_train_step_integration():
+    """A full train step with cfg.compress_seq=True routes the loss through
+    the compress forward: loss is finite, compress params receive updates,
+    and turning gammas off changes the loss."""
+    import dataclasses
+
+    from v2pe_tpu.core.config import LLMConfig, VLMConfig, VisionConfig
+    from v2pe_tpu.models.compress_seq import init_compress_params
+    from v2pe_tpu.models.params import init_vlm_params
+    from v2pe_tpu.train.optimizer import TrainConfig, build_optimizer
+    from v2pe_tpu.train.synth import IMG_CONTEXT_ID, make_synthetic_batch
+    from v2pe_tpu.train.train_step import make_train_step
+
+    cfg = VLMConfig(
+        vision=VisionConfig(hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            image_size=112, patch_size=14),
+        llm=LLMConfig(vocab_size=92553, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2),
+        compress_seq=True, fuse_method="cross-attn", chunk_num=4)
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    params["compress"] = init_compress_params(params["llm"], cfg=cfg.llm,
+                                              fuse_method="cross-attn")
+    tc = TrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=10,
+                     layer_scale_lr_scale=2.0)
+    tx = build_optimizer(tc, params)
+    opt_state = tx.init(params)
+    batch = make_synthetic_batch(cfg, 2, 128, tiles_per_row=1)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    step = make_train_step(cfg, tx, None, IMG_CONTEXT_ID, attn_impl="jnp",
+                           remat=False, donate=False)
+    p1, o1, m1 = step(params, opt_state, batch)
+    p2, _, m2 = step(p1, o1, batch)
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    assert not np.array_equal(
+        np.asarray(params["compress"]["interaction"]["wqkv_kernel"]),
+        np.asarray(p2["compress"]["interaction"]["wqkv_kernel"]))

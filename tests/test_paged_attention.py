@@ -1,0 +1,233 @@
+"""Pallas paged-decode attention kernel: parity vs dense attention over the
+gathered pages, across fresh-token counts, GQA geometry, page boundaries,
+and ragged batches (interpret mode on the CPU backend)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from v2pe_tpu.core.config import LLMConfig
+from v2pe_tpu.infer import paged_kv as pk
+from v2pe_tpu.ops.attention_ref import attention_reference
+from v2pe_tpu.ops.paged_attention import paged_decode_attention
+
+
+def _cfg(L=2, Hq=4, Hkv=2, hd=16):
+    return LLMConfig(vocab_size=100, hidden_size=Hq * hd,
+                     intermediate_size=64, num_hidden_layers=L,
+                     num_attention_heads=Hq, num_key_value_heads=Hkv)
+
+
+def _build(cfg, lengths, page_size, max_pages, n_pages=64, dtype=np.float32,
+           seed=0):
+    B = len(lengths)
+    Hkv, hd, L = (cfg.num_key_value_heads, cfg.head_dim,
+                  cfg.num_hidden_layers)
+    S = max(lengths)
+    rng = np.random.RandomState(seed)
+    k_hist = rng.randn(L, B, S, Hkv, hd).astype(dtype)
+    v_hist = rng.randn(L, B, S, Hkv, hd).astype(dtype)
+    lengths = jnp.asarray(lengths, jnp.int32)
+    cache = pk.PagedKVCache.zeros(cfg, batch=B, n_pages=n_pages,
+                                  page_size=page_size,
+                                  max_pages_per_row=max_pages,
+                                  dtype=jnp.asarray(k_hist).dtype)
+    cache = pk.allocate_rows(cache, lengths)
+    cache = pk.write_all_layers(cache, jnp.asarray(k_hist),
+                                jnp.asarray(v_hist), valid_t=lengths)
+    cache = cache._replace(lengths=lengths)
+    return cache, k_hist, v_hist
+
+
+def _dense_ref(layer, k_hist, v_hist, lengths, q, k_new, v_new):
+    B, T = q.shape[:2]
+    S = k_hist.shape[2]
+    k_full = jnp.concatenate([jnp.asarray(k_hist[layer]), k_new], axis=1)
+    v_full = jnp.concatenate([jnp.asarray(v_hist[layer]), v_new], axis=1)
+    kv_pos = jnp.broadcast_to(jnp.arange(S + T, dtype=jnp.int32), (B, S + T))
+    kv_seg = jnp.where((kv_pos < lengths[:, None]) | (kv_pos >= S), 1, 0)
+    q_pos = S + jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    return attention_reference(
+        q, k_full, v_full, q_segment_ids=jnp.ones((B, T), jnp.int32),
+        kv_segment_ids=kv_seg, causal=True,
+        q_positions=q_pos, kv_positions=kv_pos)
+
+
+@pytest.mark.parametrize("T", [1, 4])
+@pytest.mark.parametrize("lengths,page_size,max_pages", [
+    ([23, 13], 8, 8),
+    ([64, 1], 8, 16),      # exact page boundary + minimal row
+    ([17, 40], 16, 4),
+])
+def test_paged_decode_parity(T, lengths, page_size, max_pages):
+    cfg = _cfg()
+    cache, k_hist, v_hist = _build(cfg, lengths, page_size, max_pages)
+    B = len(lengths)
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.randn(B, T, cfg.num_attention_heads, cfg.head_dim)
+                    .astype(np.float32))
+    k_new = jnp.asarray(rng.randn(B, T, cfg.num_key_value_heads, cfg.head_dim)
+                        .astype(np.float32))
+    v_new = jnp.asarray(rng.randn(B, T, cfg.num_key_value_heads, cfg.head_dim)
+                        .astype(np.float32))
+    for layer in range(cfg.num_hidden_layers):
+        out = paged_decode_attention(
+            q, k_new, v_new, cache.k_pages, cache.v_pages, cache.page_table,
+            cache.lengths, jnp.int32(layer), interpret=True)
+        ref = _dense_ref(layer, k_hist, v_hist, cache.lengths, q, k_new,
+                         v_new)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_paged_decode_parity_bf16_gqa128():
+    """Production-like geometry: hd=128, G=2, bf16 pool."""
+    cfg = _cfg(L=1, Hq=4, Hkv=2, hd=128)
+    cache, k_hist, v_hist = _build(cfg, [100, 37], page_size=64, max_pages=4,
+                                   dtype=np.float32)
+    cache = cache._replace(k_pages=cache.k_pages.astype(jnp.bfloat16),
+                           v_pages=cache.v_pages.astype(jnp.bfloat16))
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(2, 1, 4, 128), jnp.bfloat16)
+    k_new = jnp.asarray(rng.randn(2, 1, 2, 128), jnp.bfloat16)
+    v_new = jnp.asarray(rng.randn(2, 1, 2, 128), jnp.bfloat16)
+    out = paged_decode_attention(
+        q, k_new, v_new, cache.k_pages, cache.v_pages, cache.page_table,
+        cache.lengths, jnp.int32(0), interpret=True)
+    ref = _dense_ref(0, k_hist.astype(np.float32), v_hist.astype(np.float32),
+                     cache.lengths, q.astype(jnp.float32),
+                     k_new.astype(jnp.float32), v_new.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_write_all_layers_matches_gather():
+    """The one-scatter multi-layer write lands tokens exactly where the
+    per-layer gather reads them back."""
+    cfg = _cfg(L=3)
+    lengths = [9, 30]
+    cache, k_hist, v_hist = _build(cfg, lengths, page_size=8, max_pages=8)
+    for layer in range(3):
+        k, v, valid = pk.gather_row_kv(cache, layer)
+        for b, ln in enumerate(lengths):
+            np.testing.assert_allclose(np.asarray(k[b, :ln]),
+                                       k_hist[layer, b, :ln], rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(v[b, :ln]),
+                                       v_hist[layer, b, :ln], rtol=1e-6)
+        assert np.array_equal(np.asarray(valid.sum(axis=1)), lengths)
+
+
+def test_incremental_decode_write_then_kernel():
+    """Token-by-token allocate/write/advance loop crossing page boundaries,
+    then the kernel attends over exactly the written history."""
+    cfg = _cfg(L=1)
+    Hkv, hd = cfg.num_key_value_heads, cfg.head_dim
+    cache = pk.PagedKVCache.zeros(cfg, batch=1, n_pages=16, page_size=4,
+                                  max_pages_per_row=6, dtype=jnp.float32)
+    rng = np.random.RandomState(1)
+    all_k, all_v = [], []
+    for t in range(10):  # crosses page boundaries at 4 and 8
+        cache = pk.allocate_rows(cache, jnp.asarray([1], jnp.int32))
+        k_t = rng.randn(1, 1, 1, Hkv, hd).astype(np.float32)
+        v_t = rng.randn(1, 1, 1, Hkv, hd).astype(np.float32)
+        all_k.append(k_t)
+        all_v.append(v_t)
+        cache = pk.write_all_layers(cache, jnp.asarray(k_t), jnp.asarray(v_t))
+        cache = pk.advance_lengths(cache, 1)
+    assert int(cache.lengths[0]) == 10
+
+    q = jnp.asarray(rng.randn(1, 1, cfg.num_attention_heads, hd), jnp.float32)
+    k_new = jnp.asarray(rng.randn(1, 1, Hkv, hd), jnp.float32)
+    v_new = jnp.asarray(rng.randn(1, 1, Hkv, hd), jnp.float32)
+    out = paged_decode_attention(
+        q, k_new, v_new, cache.k_pages, cache.v_pages, cache.page_table,
+        cache.lengths, jnp.int32(0), interpret=True)
+    k_hist = np.concatenate(all_k, axis=2)  # (1, 1, 10, Hkv, hd)
+    v_hist = np.concatenate(all_v, axis=2)
+    ref = _dense_ref(0, k_hist, v_hist, cache.lengths, q, k_new, v_new)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_llm_forward_paged_matches_full_forward():
+    """prefill + token-by-token decode through the paged cache must match
+    the teacher-forced full forward (the dense-cache contract of
+    tests/test_decode.py, now via the page pool)."""
+    from v2pe_tpu.core.config import debug_tiny
+    from v2pe_tpu.models.internlm2 import llm_forward
+    from v2pe_tpu.models.params import init_llm_params
+
+    cfg = debug_tiny(vocab_size=300).llm
+    params = init_llm_params(jax.random.PRNGKey(0), cfg)
+    S_prompt, S_total = 13, 19
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, S_total), 0, 300)
+    pos = jnp.arange(S_total, dtype=jnp.float32)[None]
+
+    full_logits, _ = llm_forward(params, cfg, input_ids=ids,
+                                 rope_pos_ids=pos, attn_impl="jnp")
+
+    cache = pk.PagedKVCache.zeros(cfg, batch=1, n_pages=16, page_size=4,
+                                  max_pages_per_row=8, dtype=jnp.float32)
+    lens = jnp.asarray([S_prompt], jnp.int32)
+    cache = pk.allocate_rows(cache, lens)
+    prefill_logits, (ks, vs) = llm_forward(
+        params, cfg, input_ids=ids[:, :S_prompt],
+        rope_pos_ids=pos[:, :S_prompt], paged_cache=cache, attn_impl="jnp")
+    cache = pk.write_all_layers(cache, ks, vs, valid_t=lens)
+    cache = cache._replace(lengths=lens)
+    np.testing.assert_allclose(np.asarray(prefill_logits),
+                               np.asarray(full_logits[:, :S_prompt]),
+                               rtol=1e-5, atol=1e-5)
+
+    for t in range(S_prompt, S_total):
+        cache = pk.allocate_rows(cache, jnp.asarray([1], jnp.int32))
+        step_logits, (ks, vs) = llm_forward(
+            params, cfg, input_ids=ids[:, t:t + 1],
+            rope_pos_ids=pos[:, t:t + 1], paged_cache=cache, attn_impl="jnp")
+        cache = pk.write_all_layers(cache, ks, vs)
+        cache = pk.advance_lengths(cache, 1)
+        np.testing.assert_allclose(
+            np.asarray(step_logits[:, 0]), np.asarray(full_logits[:, t]),
+            rtol=1e-5, atol=1e-5, err_msg=f"decode step {t}")
+
+
+def test_generate_paged_matches_dense():
+    """Full generate() with cache_mode='paged' reproduces the dense-cache
+    token stream exactly — ragged 2-row batch with images."""
+    from v2pe_tpu.core.config import LLMConfig, VLMConfig, VisionConfig
+    from v2pe_tpu.infer.generate import GenerationConfig, generate
+    from v2pe_tpu.models.params import init_vlm_params
+
+    cfg = VLMConfig(
+        vision=VisionConfig(hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            image_size=56, patch_size=14),
+        llm=LLMConfig(vocab_size=300, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2))
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    nit = cfg.num_image_token
+    rng = np.random.RandomState(0)
+
+    row0 = np.concatenate([np.arange(10, 20), [290], [291] * nit, [292],
+                           np.arange(30, 35)]).astype(np.int32)
+    row1 = np.concatenate([[290], [291] * nit, [292],
+                           np.arange(50, 57)]).astype(np.int32)
+    S = max(len(row0), len(row1))
+    ids = np.zeros((2, S), np.int32)
+    ids[0, :len(row0)] = row0
+    ids[1, :len(row1)] = row1
+    plens = jnp.asarray([len(row0), len(row1)], jnp.int32)
+    pos = np.broadcast_to(np.arange(S, dtype=np.float32), (2, S)).copy()
+    pixels = rng.randn(2, 3, 56, 56).astype(np.float32)
+
+    gc = GenerationConfig(max_new_tokens=5)
+    args = (params, cfg, gc, jnp.asarray(ids), plens, jnp.asarray(pos),
+            jnp.asarray(pixels), jnp.ones((2,), jnp.int32), 291)
+    tok_d, n_d, lens_d = generate(*args, attn_impl="jnp")
+    tok_p, n_p, lens_p = generate(*args, attn_impl="jnp",
+                                  cache_mode="paged", page_size=4)
+    np.testing.assert_array_equal(np.asarray(tok_d), np.asarray(tok_p))
+    assert int(n_d) == int(n_p)
+    np.testing.assert_array_equal(np.asarray(lens_d), np.asarray(lens_p))

@@ -151,6 +151,8 @@ class VLMConfig:
     img_emb_down_sample_ratio: Optional[int] = None
     force_image_size: Optional[int] = None
     compress_seq: bool = False
+    fuse_method: str = "add"        # 'add' | 'cross-attn' (finetune.py:171)
+    compress_method: str = "avg"    # 'avg' | 'attention' | 'topk'
     attn_type: Optional[str] = None  # None | 'ring' | 'ulysses'
     chunk_num: int = 1
 

@@ -52,7 +52,7 @@ def _sample(logits, gc: GenerationConfig, key):
 
 
 @partial(jax.jit, static_argnames=("cfg", "gc", "img_context_token_id",
-                                   "attn_impl"))
+                                   "attn_impl", "cache_mode", "page_size"))
 def generate(
     params,
     cfg: VLMConfig,
@@ -65,6 +65,8 @@ def generate(
     img_context_token_id: int,
     rng: Optional[jax.Array] = None,
     attn_impl: str = "auto",
+    cache_mode: str = "dense",   # 'dense' | 'paged'
+    page_size: int = 128,
 ):
     """Greedy/sampling decode.
 
@@ -90,7 +92,6 @@ def generate(
     embeds = internvl_chat.scatter_image_embeds(
         embeds, input_ids, vit_embeds, image_flags, img_context_token_id)
 
-    cache = KVCache.zeros(cfg.llm, B, max_len, dtype=dtype)
     # per-row valid prompt mask: right-padded slots hold garbage keys
     arange = jnp.arange(S, dtype=jnp.int32)[None, :]
     seg = jnp.where(arange < prompt_lengths[:, None], 1, 0)
@@ -104,10 +105,25 @@ def generate(
     # prefill computes hidden states only; the vocab projection runs on the
     # single last position per row (the full-sequence fp32 logits head is
     # ~3 GB of HBM writes at 8k x 92k — pure TTFT waste)
-    hidden, cache = internlm2.llm_forward(
-        llm, cfg.llm, inputs_embeds=embeds, rope_pos_ids=rope_pos_ids,
-        segment_ids=seg, attn_impl=attn_impl, kv_cache=cache,
-        kv_valid=kv_valid_at(0), return_hidden=True)
+    if cache_mode == "paged":
+        from v2pe_tpu.infer import paged_kv as pk
+
+        MP = -(-max_len // page_size)
+        cache = pk.PagedKVCache.zeros(cfg.llm, B, B * MP + 1, page_size, MP,
+                                      dtype=dtype)
+        cache = pk.allocate_rows(cache, prompt_lengths)
+        hidden, (ks, vs) = internlm2.llm_forward(
+            llm, cfg.llm, inputs_embeds=embeds, rope_pos_ids=rope_pos_ids,
+            segment_ids=seg, attn_impl=attn_impl, paged_cache=cache,
+            return_hidden=True)
+        cache = pk.write_all_layers(cache, ks, vs, valid_t=prompt_lengths)
+        cache = cache._replace(lengths=prompt_lengths)
+    else:
+        cache = KVCache.zeros(cfg.llm, B, max_len, dtype=dtype)
+        hidden, cache = internlm2.llm_forward(
+            llm, cfg.llm, inputs_embeds=embeds, rope_pos_ids=rope_pos_ids,
+            segment_ids=seg, attn_impl=attn_impl, kv_cache=cache,
+            kv_valid=kv_valid_at(0), return_hidden=True)
     last_hidden = jnp.take_along_axis(
         hidden, (prompt_lengths[:, None, None] - 1), axis=1)
     last_logits = jnp.dot(last_hidden, llm["output_kernel"],
@@ -128,11 +144,21 @@ def generate(
         t, tok, pos, cache, done, out, lens, key = state
         key, sub = jax.random.split(key)
         emb = llm["tok_embeddings"][tok][:, None, :]
-        logits, cache = internlm2.llm_forward(
-            llm, cfg.llm, inputs_embeds=emb,
-            rope_pos_ids=pos[:, None],
-            attn_impl=attn_impl, kv_cache=cache,
-            kv_valid=kv_valid_at(t))
+        if cache_mode == "paged":
+            from v2pe_tpu.infer import paged_kv as pk
+
+            cache = pk.allocate_rows(cache, jnp.ones((B,), jnp.int32))
+            logits, (ks, vs) = internlm2.llm_forward(
+                llm, cfg.llm, inputs_embeds=emb, rope_pos_ids=pos[:, None],
+                attn_impl=attn_impl, paged_cache=cache)
+            cache = pk.write_all_layers(cache, ks, vs)
+            cache = pk.advance_lengths(cache, 1)
+        else:
+            logits, cache = internlm2.llm_forward(
+                llm, cfg.llm, inputs_embeds=emb,
+                rope_pos_ids=pos[:, None],
+                attn_impl=attn_impl, kv_cache=cache,
+                kv_valid=kv_valid_at(t))
         nxt = _sample(logits[:, -1], gc, sub).astype(jnp.int32)
         nxt = jnp.where(done, 0, nxt)
         out = out.at[:, t].set(nxt)

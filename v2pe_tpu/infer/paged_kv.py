@@ -8,12 +8,18 @@ fixed-size pages with a per-row page table, so:
 
 * ragged batches share one physical pool (no per-row worst-case padding);
 * memory grows by one page at a time per row;
-* under a mesh the pool shards over (heads x pages) like any other tensor.
+* under a mesh the pool shards over the kv-head axis like any other tensor.
 
-Decode attention gathers the row's pages into contiguous (max_len) form via
-a static-shape page-table gather, then runs the standard flash kernel; a
-fused pallas paged-attention kernel can replace the gather later without
-changing this interface.
+Pool layout is (L, Hkv, n_pages, page_size, hd): the layer and head axes
+lead so the decode kernel (``v2pe_tpu.ops.paged_attention``) can DMA exactly
+one (page_size, hd) page per grid step via a scalar-prefetched page table —
+no jax-level gather ever materializes a row's full context.
+
+Writes are one batched scatter over ALL layers at once (``write_all_layers``)
+on the flat (L, Hkv, n_pages*page_size, hd) view: inside a decode loop the
+pool is a donated carry, so XLA performs the scatter in place, touching only
+the L*B*T written slots (the same write-only-new contract as the dense
+cache's decode path in models/internlm2.py).
 """
 
 from __future__ import annotations
@@ -29,7 +35,7 @@ from v2pe_tpu.core.config import LLMConfig
 class PagedKVCache(NamedTuple):
     """Physical pool + page tables.
 
-    k_pages/v_pages: (L, n_pages, page_size, Hkv, hd)
+    k_pages/v_pages: (L, Hkv, n_pages, page_size, hd)
     page_table: (B, max_pages_per_row) int32 — physical page id or -1
     lengths:   (B,) int32 — tokens written per row
     next_page: () int32 — bump allocator head (page 0 is a zero/null page)
@@ -43,7 +49,7 @@ class PagedKVCache(NamedTuple):
 
     @property
     def page_size(self) -> int:
-        return self.k_pages.shape[2]
+        return self.k_pages.shape[3]
 
     @property
     def max_pages_per_row(self) -> int:
@@ -52,8 +58,8 @@ class PagedKVCache(NamedTuple):
     @staticmethod
     def zeros(cfg: LLMConfig, batch: int, n_pages: int, page_size: int,
               max_pages_per_row: int, dtype=jnp.bfloat16) -> "PagedKVCache":
-        shape = (cfg.num_hidden_layers, n_pages, page_size,
-                 cfg.num_key_value_heads, cfg.head_dim)
+        shape = (cfg.num_hidden_layers, cfg.num_key_value_heads, n_pages,
+                 page_size, cfg.head_dim)
         return PagedKVCache(
             k_pages=jnp.zeros(shape, dtype),
             v_pages=jnp.zeros(shape, dtype),
@@ -82,46 +88,74 @@ def allocate_rows(cache: PagedKVCache, new_lengths: jnp.ndarray
                           next_page=cache.next_page + jnp.sum(extra))
 
 
-def write_tokens(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
-                 v_new: jnp.ndarray) -> PagedKVCache:
-    """Write (B, T, Hkv, hd) at each row's current length (single-token or
-    small-T decode writes; pages must already be allocated)."""
-    B, T, Hkv, hd = k_new.shape
+def write_all_layers(cache: PagedKVCache, k_new: jnp.ndarray,
+                     v_new: jnp.ndarray,
+                     valid_t: jnp.ndarray | None = None) -> PagedKVCache:
+    """Write (L, B, T, Hkv, hd) k/v at each row's current length in ONE
+    scatter (pages must already be allocated; lengths are NOT advanced).
+
+    valid_t: optional (B,) — number of valid tokens per row among the T
+    (right-padded prompt prefill); default all T.
+    """
+    L, B, T, Hkv, hd = k_new.shape
     ps = cache.page_size
+    NP = cache.k_pages.shape[2]
     pos = cache.lengths[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-    page_slot = pos // ps                       # (B, T) logical page index
+    page_slot = jnp.minimum(pos // ps, cache.max_pages_per_row - 1)
     offset = pos % ps
     phys = jnp.take_along_axis(cache.page_table, page_slot, axis=1)  # (B,T)
+    valid = phys >= 0
+    if valid_t is not None:
+        valid &= jnp.arange(T, dtype=jnp.int32)[None, :] < valid_t[:, None]
+    flat_idx = jnp.where(valid, phys * ps + offset, NP * ps)  # OOB -> drop
+    flat_idx = flat_idx.reshape(-1)
 
-    k_pages = cache.k_pages
-    v_pages = cache.v_pages
-    flat_idx = (phys * ps + offset).reshape(-1)  # (B*T,) into (n_pages*ps)
-    L, NP = k_pages.shape[0], k_pages.shape[1]
-    k_flat = k_pages[layer].reshape(NP * ps, Hkv, hd)
-    v_flat = v_pages[layer].reshape(NP * ps, Hkv, hd)
-    k_flat = k_flat.at[flat_idx].set(k_new.reshape(-1, Hkv, hd))
-    v_flat = v_flat.at[flat_idx].set(v_new.reshape(-1, Hkv, hd))
-    k_pages = k_pages.at[layer].set(k_flat.reshape(NP, ps, Hkv, hd))
-    v_pages = v_pages.at[layer].set(v_flat.reshape(NP, ps, Hkv, hd))
+    # (L, Hkv, NP*ps, hd) flat view; values (L, Hkv, B*T, hd)
+    def scat(pages, new):
+        flat = pages.reshape(L, Hkv, NP * ps, hd)
+        vals = jnp.moveaxis(new, 3, 1).reshape(L, Hkv, B * T, hd)
+        flat = flat.at[:, :, flat_idx].set(vals.astype(flat.dtype),
+                                           mode="drop")
+        return flat.reshape(L, Hkv, NP, ps, hd)
+
+    return cache._replace(k_pages=scat(cache.k_pages, k_new),
+                          v_pages=scat(cache.v_pages, v_new))
+
+
+def write_tokens(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
+                 v_new: jnp.ndarray) -> PagedKVCache:
+    """Single-layer write of (B, T, Hkv, hd) (unit-test convenience; the
+    decode loop uses :func:`write_all_layers`)."""
+    L = cache.k_pages.shape[0]
+    zeros = jnp.zeros((L,) + k_new.shape, k_new.dtype)
+    k_all = zeros.at[layer].set(k_new)
+    v_all = zeros.at[layer].set(v_new)
+    # scatter only this layer: mask others by writing their current contents
+    out = write_all_layers(cache, k_all, v_all)
+    k_pages = cache.k_pages.at[layer].set(out.k_pages[layer])
+    v_pages = cache.v_pages.at[layer].set(out.v_pages[layer])
     return cache._replace(k_pages=k_pages, v_pages=v_pages)
 
 
 def gather_row_kv(cache: PagedKVCache, layer: int
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Materialize (B, max_len, Hkv, hd) k/v plus a validity mask from the
-    page tables (max_len = max_pages_per_row * page_size, static)."""
+    page tables (max_len = max_pages_per_row * page_size, static).
+
+    Debug/test path only — the decode kernel reads pages directly.
+    """
     B, MP = cache.page_table.shape
     ps = cache.page_size
     phys = jnp.maximum(cache.page_table, 0)  # null page for -1 entries
-    k = cache.k_pages[layer][phys]           # (B, MP, ps, Hkv, hd)
-    v = cache.v_pages[layer][phys]
-    Hkv, hd = k.shape[-2:]
-    k = k.reshape(B, MP * ps, Hkv, hd)
-    v = v.reshape(B, MP * ps, Hkv, hd)
+    k = cache.k_pages[layer][:, phys]        # (Hkv, B, MP, ps, hd)
+    v = cache.v_pages[layer][:, phys]
+    Hkv, hd = k.shape[0], k.shape[-1]
+    k = jnp.moveaxis(k, 0, 3).reshape(B, MP * ps, Hkv, hd)
+    v = jnp.moveaxis(v, 0, 3).reshape(B, MP * ps, Hkv, hd)
     pos = jnp.arange(MP * ps, dtype=jnp.int32)[None, :]
     valid = pos < cache.lengths[:, None]
     return k, v, valid
 
 
-def advance_lengths(cache: PagedKVCache, t: int) -> PagedKVCache:
+def advance_lengths(cache: PagedKVCache, t) -> PagedKVCache:
     return cache._replace(lengths=cache.lengths + t)

@@ -28,18 +28,46 @@ from v2pe_tpu.ops.rope import compute_rope_cos_sin
 FINAL_SIZE = 100
 
 
-def init_compress_params(llm_params: dict, init_value: float = 1e-3) -> dict:
+def split_wqkv_for_cross(wqkv_kernel: jnp.ndarray, cfg: LLMConfig):
+    """(D, Hkv*(G+2)*hd) fused interleaved kernel -> separate
+    wq (D, Hq*hd) and wkv (D, 2*Hkv*hd).
+
+    Bit-parity with ``reuse_self_attention_params``
+    (modeling_internlm2.py:852-878): torch chunks the OUT rows per kv group
+    and takes the first G*hd as q, last 2*hd as kv — identical to the
+    interleaved (h, gs, d) reshape used by split_wqkv."""
+    D = wqkv_kernel.shape[0]
+    G = cfg.num_key_value_groups
+    w = wqkv_kernel.reshape(D, cfg.num_key_value_heads, G + 2, cfg.head_dim)
+    wq = w[:, :, :G].reshape(D, cfg.num_attention_heads * cfg.head_dim)
+    wkv = w[:, :, G:].reshape(
+        D, cfg.num_key_value_heads * 2 * cfg.head_dim)
+    return wq, wkv
+
+
+def init_compress_params(llm_params: dict, init_value: float = 1e-3,
+                         cfg: Optional[LLMConfig] = None,
+                         fuse_method: str = "add") -> dict:
     """Per-layer LayerScale gammas + interaction attention weights (copies
-    of the layer attention, like init_interactions :1269-1271)."""
+    of the layer attention, like init_interactions :1269-1271). With
+    ``fuse_method='cross-attn'`` also clones per-layer cross-attention fuse
+    weights (wq/wkv split from the fused wqkv, wo copied — :1249-1254)."""
     layers = llm_params["layers"]
     L, D = layers["attention_norm"].shape
     inter = {k: layers[k] for k in layers
              if k.startswith("wqkv") or k.startswith("wo")}
-    return {
+    out = {
         "layer_scale": jnp.full((L, D), init_value,
                                 layers["attention_norm"].dtype),
         "interaction": jax.tree.map(jnp.array, inter),
     }
+    if fuse_method == "cross-attn":
+        assert cfg is not None, "cfg required for cross-attn fuse split"
+        wq, wkv = jax.vmap(lambda w: split_wqkv_for_cross(w, cfg)
+                           )(layers["wqkv_kernel"])
+        out["fuse"] = {"wq_kernel": wq, "wkv_kernel": wkv,
+                       "wo_kernel": jnp.array(layers["wo_kernel"])}
+    return out
 
 
 def compress_avg(h: jnp.ndarray, final_size: int = FINAL_SIZE) -> jnp.ndarray:
@@ -81,6 +109,65 @@ def sigmoid_gate(x1: jnp.ndarray, x2: jnp.ndarray,
     return x1 * g + x2 * (1 - g)
 
 
+def compress2_avg(h: jnp.ndarray, pos: jnp.ndarray,
+                  final_size: int = FINAL_SIZE):
+    """(B, N, C), (B, N) -> bucket-mean states + bucket-MEDIAN positions
+    (compress2 'avg', modeling_internlm2.py:1286-1305). torch.median on an
+    even count returns the LOWER middle value — matched via sort."""
+    B, N, C = h.shape
+    final_size = min(final_size, N)
+    step = N // final_size
+    used = step * final_size
+    hc = h[:, :used].reshape(B, final_size, step, C).mean(axis=2)
+    ps = jnp.sort(pos[:, :used].reshape(B, final_size, step), axis=2)
+    med = ps[:, :, (step - 1) // 2]
+    return hc, med
+
+
+def cross_attention_fuse(fuse_p: dict, cfg: LLMConfig, x_q: jnp.ndarray,
+                         x_kv: jnp.ndarray, pos_q: jnp.ndarray,
+                         pos_k: jnp.ndarray) -> jnp.ndarray:
+    """Cross attention: chunk hidden states (queries) over summary tokens
+    (keys/values). Parity with InternLM2CrossAttention.forward
+    (modeling_internlm2.py:909-1000): separate rotary per side, GQA via
+    repeat, fp32 softmax, NO mask (all summaries visible), wo projection.
+
+    x_q (B, Sq, D), x_kv (B, Sk, D); pos_* (B, S*) float32 rope ids.
+    """
+    B, Sq, D = x_q.shape
+    Sk = x_kv.shape[1]
+    Hq, Hkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                   cfg.head_dim)
+    G = Hq // Hkv
+    q = jnp.dot(x_q, fuse_p["wq_kernel"],
+                preferred_element_type=jnp.float32
+                ).astype(x_q.dtype).reshape(B, Sq, Hq, hd)
+    kv = jnp.dot(x_kv, fuse_p["wkv_kernel"],
+                 preferred_element_type=jnp.float32
+                 ).astype(x_kv.dtype).reshape(B, Sk, Hkv, 2, hd)
+    k, v = kv[..., 0, :], kv[..., 1, :]
+
+    from v2pe_tpu.ops.rope import apply_rotary
+
+    cos_q, sin_q = compute_rope_cos_sin(pos_q.astype(jnp.float32),
+                                        cfg.head_dim, cfg.rope_theta)
+    cos_k, sin_k = compute_rope_cos_sin(pos_k.astype(jnp.float32),
+                                        cfg.head_dim, cfg.rope_theta)
+    q = apply_rotary(q, cos_q, sin_q)
+    k = apply_rotary(k, cos_k, sin_k)
+
+    qg = q.reshape(B, Sq, Hkv, G, hd)
+    s = jnp.einsum("bqhgd,bkhd->bhgqk", qg.astype(jnp.float32),
+                   k.astype(jnp.float32),
+                   preferred_element_type=jnp.float32) * (hd ** -0.5)
+    w = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhgqk,bkhd->bqhgd", w, v.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    o = o.reshape(B, Sq, Hq * hd).astype(x_q.dtype)
+    return jnp.dot(o, fuse_p["wo_kernel"],
+                   preferred_element_type=jnp.float32).astype(x_q.dtype)
+
+
 def compress_llm_forward(
     llm_params: dict,
     compress_params: dict,
@@ -91,12 +178,23 @@ def compress_llm_forward(
     *,
     final_size: int = FINAL_SIZE,
     attn_impl: str = "auto",
+    fuse_method: str = "add",     # 'add' | 'cross-attn'
+    return_hidden: bool = False,
 ):
     """Hierarchical forward: within-chunk attention + earlier-chunk summary
-    fusion per layer. Returns fp32 logits (B, S, V)."""
+    fusion per layer. Returns fp32 logits (B, S, V) (or final hidden states
+    with ``return_hidden`` for the chunked-CE training path).
+
+    fuse 'add': chunk i adds LayerScale(sum of interaction-refined summaries
+    of chunks j < i) (:1275-1276). fuse 'cross-attn': chunk i cross-attends
+    onto chunk i-1's summaries through the cloned-from-self-attention fuse
+    weights, LayerScale-gated (:1277-1282; chunk 0 contributes 0)."""
     B, S, D = inputs_embeds.shape
     assert S % n_chunks == 0
     c = S // n_chunks
+    final_size = min(final_size, c)  # chunks shorter than FINAL_SIZE would
+    # produce empty avg buckets (NaN); the reference never hits this (its
+    # chunks are >=8k) but small configs do
     x = inputs_embeds
     cos, sin = compute_rope_cos_sin(rope_pos_ids.astype(jnp.float32),
                                     cfg.head_dim, cfg.rope_theta)
@@ -130,14 +228,111 @@ def compress_llm_forward(
             segment_ids=jnp.ones((B, n_chunks * final_size), jnp.int32),
             positions=None, attn_impl=attn_impl)
 
-        # 3. fuse 'add': chunk i receives LayerScale(sum of summaries of
-        #    chunks j < i) (:1274-1277)
-        sums = summaries.reshape(B, n_chunks, final_size, D).sum(axis=2)
-        prev = jnp.cumsum(sums, axis=1) - sums          # exclusive prefix
-        h = h + (gamma * prev)[:, :, None, :].reshape(
-            B, n_chunks, 1, D).repeat(c, axis=2).reshape(B, S, D)
+        # 3. fuse: inject earlier-chunk summaries into each chunk
+        if fuse_method == "add":
+            # chunk i receives LayerScale(sum of summaries of chunks j < i)
+            sums = summaries.reshape(B, n_chunks, final_size, D).sum(axis=2)
+            prev = jnp.cumsum(sums, axis=1) - sums      # exclusive prefix
+            h = h + (gamma * prev)[:, :, None, :].reshape(
+                B, n_chunks, 1, D).repeat(c, axis=2).reshape(B, S, D)
+        elif fuse_method == "cross-attn":
+            # chunk i cross-attends onto chunk (i-1)'s summaries (:1282);
+            # chunk 0's contribution is zeroed (:1280)
+            pf = compress_params["fuse"]
+            pf_l = jax.tree.map(lambda a: a[li], pf)
+            sum_c = summaries.reshape(B, n_chunks, final_size, D)
+            prev_sum = jnp.roll(sum_c, 1, axis=1)       # chunk i-1 (0 -> own)
+            kpos = sum_pos.reshape(B, n_chunks, final_size)
+            prev_kpos = jnp.roll(kpos, 1, axis=1)
+            fused = cross_attention_fuse(
+                pf_l, cfg,
+                h.reshape(B * n_chunks, c, D),
+                prev_sum.reshape(B * n_chunks, final_size, D),
+                rope_pos_ids.reshape(B * n_chunks, c),
+                prev_kpos.reshape(B * n_chunks, final_size))
+            fused = fused.reshape(B, n_chunks, c, D)
+            gate = (jnp.arange(n_chunks) > 0).astype(h.dtype)
+            fused = fused * gate[None, :, None, None]
+            h = h + (gamma * fused).reshape(B, S, D)
+        else:
+            raise NotImplementedError(f"fuse_method={fuse_method!r}")
 
         # 4. standard within-chunk attention + SwiGLU
+        attn_out, _ = attention_forward(
+            p, cfg, h, cos, sin, segment_ids=seg, positions=None,
+            attn_impl=attn_impl)
+        x = x + attn_out
+        h = rms_norm(x, p["ffn_norm"], cfg.rms_norm_eps)
+        x = x + mlp_forward(p, h)
+
+    x = rms_norm(x, llm_params["norm"], cfg.rms_norm_eps)
+    if return_hidden:
+        return x
+    return jnp.dot(x, llm_params["output_kernel"],
+                   preferred_element_type=jnp.float32)
+
+
+def compress_fuse_only_forward(
+    llm_params: dict,
+    compress_params: dict,
+    cfg: LLMConfig,
+    inputs_embeds: jnp.ndarray,   # (B, S, D)
+    rope_pos_ids: jnp.ndarray,    # (B, S) float32
+    n_chunks: int,
+    *,
+    final_size: int = FINAL_SIZE,
+    attn_impl: str = "auto",
+    fuse_method: str = "cross-attn",
+):
+    """Fuse-only inference branch (modeling_internlm2.py:1366-1436,
+    ``fuse_only = not interaction`` :1756): no interaction attention; per
+    layer, chunk i compresses the CONCATENATION of all earlier chunks'
+    normed hidden states to ``final_size`` summaries via compress2 (bucket
+    means + median positions) and fuses them in, then attends within its
+    chunk at its global position offsets.
+
+    Divergence, by design: the reference computes the compressed context and
+    offsets but drops them before attention (dead code after :1436 — the
+    fuse modules are never invoked). Here the summaries feed the same fuse
+    ('add'/'cross-attn') used in training, making the branch coherent.
+
+    Python-loop over chunks (static per-chunk shapes grow with i) — an
+    inference utility mirroring the reference's per-rank chunk execution.
+    """
+    B, S, D = inputs_embeds.shape
+    assert S % n_chunks == 0
+    c = S // n_chunks
+    x = inputs_embeds
+    cos, sin = compute_rope_cos_sin(rope_pos_ids.astype(jnp.float32),
+                                    cfg.head_dim, cfg.rope_theta)
+    seg = jnp.broadcast_to(
+        (jnp.arange(S) // c + 1).astype(jnp.int32)[None], (B, S))
+
+    layers = llm_params["layers"]
+    L = layers["attention_norm"].shape[0]
+    for li in range(L):
+        p = jax.tree.map(lambda a: a[li], layers)
+        gamma = compress_params["layer_scale"][li]
+        h = rms_norm(x, p["attention_norm"], cfg.rms_norm_eps)
+
+        fused_chunks = [h[:, :c]]  # chunk 0: no earlier context
+        for i in range(1, n_chunks):
+            prev_h = h[:, : i * c]
+            prev_pos = rope_pos_ids[:, : i * c]
+            summ, spos = compress2_avg(prev_h, prev_pos, final_size)
+            hc = h[:, i * c: (i + 1) * c]
+            if fuse_method == "add":
+                fused_chunks.append(
+                    hc + gamma * summ.sum(axis=1, keepdims=True))
+            else:
+                pf_l = jax.tree.map(lambda a: a[li],
+                                    compress_params["fuse"])
+                out = cross_attention_fuse(
+                    pf_l, cfg, hc, summ,
+                    rope_pos_ids[:, i * c: (i + 1) * c], spos)
+                fused_chunks.append(hc + gamma * out)
+        h = jnp.concatenate(fused_chunks, axis=1)
+
         attn_out, _ = attention_forward(
             p, cfg, h, cos, sin, segment_ids=seg, positions=None,
             attn_impl=attn_impl)

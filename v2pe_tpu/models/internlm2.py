@@ -77,6 +77,7 @@ def attention_forward(
     cache_length: Optional[jnp.ndarray] = None,
     kv_valid: Optional[jnp.ndarray] = None,
     cache_write_only_new: bool = False,
+    paged: Optional[tuple] = None,
 ):
     """One attention block. If kv_cache_layer=(k_buf, v_buf) is given,
     attention runs over cache + new tokens. With cache_write_only_new the
@@ -94,7 +95,26 @@ def attention_forward(
     k = apply_rotary(k, cos, sin)
 
     new_cache = None
-    if kv_cache_layer is not None and S <= 16 and cache_write_only_new:
+    if paged is not None:
+        # paged KV: the pool is READ-ONLY here; fresh (k, v) go back to the
+        # caller, which scatters them into pages after the layer scan
+        cache, li = paged
+        new_cache = (k, v)
+        if S <= 16:
+            from v2pe_tpu.ops.paged_attention import paged_decode_attention
+
+            out = paged_decode_attention(
+                q, k, v, cache.k_pages, cache.v_pages, cache.page_table,
+                cache.lengths, li,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            # prefill into an empty paged cache: the prompt attends only to
+            # itself, so run plain (segment-masked) flash over the fresh k/v
+            out = flash_attention(
+                q, k, v, q_segment_ids=segment_ids,
+                kv_segment_ids=segment_ids, q_positions=positions,
+                kv_positions=positions, causal=True, impl=attn_impl)
+    elif kv_cache_layer is not None and S <= 16 and cache_write_only_new:
         k_buf, v_buf = kv_cache_layer
         out = _two_part_decode_attention(
             q, k, v, k_buf, v_buf, cache_length, kv_valid)
@@ -183,13 +203,13 @@ def mlp_forward(p: dict, x: jnp.ndarray) -> jnp.ndarray:
 
 def layer_forward(p, cfg: LLMConfig, x, cos, sin, *, segment_ids, positions,
                   attn_impl, kv_cache_layer=None, cache_length=None,
-                  kv_valid=None, cache_write_only_new=False):
+                  kv_valid=None, cache_write_only_new=False, paged=None):
     h = rms_norm(x, p["attention_norm"], cfg.rms_norm_eps)
     attn_out, new_cache = attention_forward(
         p, cfg, h, cos, sin, segment_ids=segment_ids, positions=positions,
         attn_impl=attn_impl, kv_cache_layer=kv_cache_layer,
         cache_length=cache_length, kv_valid=kv_valid,
-        cache_write_only_new=cache_write_only_new)
+        cache_write_only_new=cache_write_only_new, paged=paged)
     x = x + attn_out
     h = rms_norm(x, p["ffn_norm"], cfg.rms_norm_eps)
     x = x + mlp_forward(p, h)
@@ -208,25 +228,39 @@ def llm_forward(
     attn_impl: str = "auto",
     kv_cache: Optional[KVCache] = None,
     kv_valid: Optional[jnp.ndarray] = None,
+    paged_cache=None,  # Optional[PagedKVCache] — read-only inside
     remat: bool = False,
     return_hidden: bool = False,
 ):
     """Returns fp32 logits (B, S, V) (or hidden states), and the updated
-    KVCache when one was passed."""
+    KVCache when one was passed.
+
+    With ``paged_cache`` the pool is never copied or written here: attention
+    reads pages through the Pallas paged-decode kernel (decode) or runs over
+    the fresh tokens only (prefill into an empty cache), and the second
+    return value is the stacked per-layer fresh (k, v) —
+    (L, B, S, Hkv, hd) each — for the caller to scatter into the pool via
+    ``paged_kv.write_all_layers``."""
     if inputs_embeds is None:
         inputs_embeds = params["tok_embeddings"][input_ids]
     x = inputs_embeds
     B, S, _ = x.shape
 
     if rope_pos_ids is None:
-        base = 0 if kv_cache is None else kv_cache.length
-        rope_pos_ids = (base + jnp.arange(S, dtype=jnp.float32))[None, :]
+        if paged_cache is not None:
+            base = paged_cache.lengths[:, None].astype(jnp.float32)
+        else:
+            base = 0 if kv_cache is None else kv_cache.length
+        rope_pos_ids = base + jnp.arange(S, dtype=jnp.float32)[None, :]
         rope_pos_ids = jnp.broadcast_to(rope_pos_ids, (B, S))
     # rope-scaling ablation modes (linear / dynamic-NTK interpolation
     # baselines, cfg.rope_mode; v2pe/default are pass-through)
     from v2pe_tpu.ops.rope import scale_positions
 
-    total_ctx = S if kv_cache is None else kv_cache.length + S
+    if paged_cache is not None:
+        total_ctx = jnp.max(paged_cache.lengths) + S
+    else:
+        total_ctx = S if kv_cache is None else kv_cache.length + S
     scaled_pos, theta = scale_positions(
         rope_pos_ids.astype(jnp.float32), cfg.head_dim, cfg.rope_theta,
         mode=cfg.rope_mode, scaling_factor=cfg.rope_scaling_factor,
@@ -234,7 +268,21 @@ def llm_forward(
         seq_len=total_ctx)
     cos, sin = compute_rope_cos_sin(scaled_pos, cfg.head_dim, theta)
 
-    if kv_cache is None:
+    if paged_cache is not None:
+        # pool stays outside the scan carry (read-only); fresh per-layer
+        # (k, v) come back through ys for one batched scatter by the caller
+        def scan_body(carry, lp):
+            x, li = carry
+            x, (k_new, v_new) = layer_forward(
+                lp, cfg, x, cos, sin, segment_ids=segment_ids,
+                positions=positions, attn_impl=attn_impl,
+                paged=(paged_cache, li))
+            return (x, li + 1), (k_new, v_new)
+
+        (x, _), (ks, vs) = jax.lax.scan(
+            scan_body, (x, jnp.int32(0)), params["layers"])
+        new_cache = (ks, vs)  # (L, B, S, Hkv, hd) each
+    elif kv_cache is None:
         def run_layer(lp, x):
             out, _ = layer_forward(lp, cfg, x, cos, sin,
                                    segment_ids=segment_ids,

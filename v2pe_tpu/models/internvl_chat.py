@@ -172,16 +172,29 @@ def forward(
         # training path: never materialize (S, V) fp32 logits — at 32k x
         # 92553 that is ~12 GB; compute the CE from hidden states in
         # sequence chunks with rematerialized per-chunk projections
-        hidden, _ = internlm2.llm_forward(
-            params["llm"], cfg.llm,
-            inputs_embeds=input_embeds,
-            rope_pos_ids=rope_pos_ids,
-            segment_ids=segment_ids,
-            positions=token_positions,
-            attn_impl=attn_impl,
-            remat=remat,
-            return_hidden=True,
-        )
+        if cfg.compress_seq and "compress" in params:
+            # compress-seq trainer mode: hierarchical chunked forward
+            # (chunk segmentation REPLACES packing segmentation, like the
+            # reference's chunkTrainer 1-sample-per-row layout,
+            # compress_seq_trainer.py:228-775)
+            from v2pe_tpu.models.compress_seq import compress_llm_forward
+
+            hidden = compress_llm_forward(
+                params["llm"], params["compress"], cfg.llm,
+                input_embeds, rope_pos_ids, cfg.chunk_num,
+                attn_impl=attn_impl, fuse_method=cfg.fuse_method,
+                return_hidden=True)
+        else:
+            hidden, _ = internlm2.llm_forward(
+                params["llm"], cfg.llm,
+                inputs_embeds=input_embeds,
+                rope_pos_ids=rope_pos_ids,
+                segment_ids=segment_ids,
+                positions=token_positions,
+                attn_impl=attn_impl,
+                remat=remat,
+                return_hidden=True,
+            )
         loss = chunked_cross_entropy(
             hidden, params["llm"]["output_kernel"], targets, loss_weight,
             loss_weight_sum)

@@ -298,20 +298,27 @@ def _flash_fwd(statics, q, k, v, seg_q, seg_k, pos_q, pos_k):
     return out, (q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse)
 
 
-def _flash_bwd(statics, res, do):
-    q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse = res
+def _bwd_dispatch(statics: AttnStatics, q, k, v, seg_q, seg_k, pos_q, pos_k,
+                  out, lse, do):
+    """Backward kernel dispatch shared by the local custom_vjp and the ring
+    backward (parallel/ring.py uses it per rotation step)."""
     if statics.impl == "pallas":
         from v2pe_tpu.ops import flash_pallas_bwd
 
-        dq, dk, dv = flash_pallas_bwd.flash_attention_bwd_pallas(
+        return flash_pallas_bwd.flash_attention_bwd_pallas(
             q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do,
             causal=statics.causal, scale=statics.scale,
             block_q=statics.block_q, block_k=statics.block_k,
             ordered=statics.ordered, interpret=statics.interpret)
-    else:
-        dq, dk, dv = jax.vmap(
-            lambda *a: _bwd_jnp_1b(*a, statics))(q, k, v, seg_q, seg_k,
-                                                 pos_q, pos_k, out, lse, do)
+    return jax.vmap(
+        lambda *a: _bwd_jnp_1b(*a, statics))(q, k, v, seg_q, seg_k,
+                                             pos_q, pos_k, out, lse, do)
+
+
+def _flash_bwd(statics, res, do):
+    q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse = res
+    dq, dk, dv = _bwd_dispatch(statics, q, k, v, seg_q, seg_k, pos_q, pos_k,
+                               out, lse, do)
     return dq, dk, dv, None, None, None, None
 
 

@@ -62,6 +62,13 @@ _PARAM_RULES = [
     (r"mlp1/fc1_kernel", P("fsdp", "tensor")),
     (r"mlp1/fc2_kernel", P("tensor", "fsdp")),
     (r"mlp1/.*", P(None)),
+    # compress-seq: interaction/fuse are attention-weight clones — same
+    # layout as the LLM attention; layer_scale stays replicated
+    (r"compress/interaction/wqkv_kernel", P(None, "fsdp", "tensor")),
+    (r"compress/interaction/wo_kernel", P(None, "tensor", "fsdp")),
+    (r"compress/fuse/(wq|wkv)_kernel", P(None, "fsdp", "tensor")),
+    (r"compress/fuse/wo_kernel", P(None, "tensor", "fsdp")),
+    (r"compress/.*", P(None)),
 ]
 
 

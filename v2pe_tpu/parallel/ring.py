@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from v2pe_tpu.ops.attention import AttnStatics, NEG_INF, _bwd_jnp_1b, \
+from v2pe_tpu.ops.attention import AttnStatics, NEG_INF, _bwd_dispatch, \
     _fwd_dispatch
 
 
@@ -91,15 +91,111 @@ def ring_flash_attention(axis_name: str, statics: AttnStatics,
     return out
 
 
+def _chunk_has_work(statics: AttnStatics, seg_q, seg_k, pos_q, pos_k):
+    """Cheap O(S) predicate: does this (q-shard, kv-chunk) pair contain ANY
+    unmasked pair? Causal chunk skip — the wall-clock win of the reference's
+    zigzag layout (each rank's two half-chunks keep per-rotation work
+    balanced while half the rotations are fully masked and skipped)."""
+    q_valid, k_valid = seg_q != 0, seg_k != 0
+    any_pair = jnp.any(q_valid) & jnp.any(k_valid)
+    if not statics.causal:
+        return any_pair
+    q_max = jnp.max(jnp.where(q_valid, pos_q, -1))
+    k_min = jnp.min(jnp.where(k_valid, pos_k, 2**30))
+    return any_pair & (q_max >= k_min)
+
+
+def _halves(x, axis):
+    h = x.shape[axis] // 2
+    lo = jax.lax.slice_in_dim(x, 0, h, axis=axis)
+    hi = jax.lax.slice_in_dim(x, h, 2 * h, axis=axis)
+    return lo, hi
+
+
+def _branch_index(statics, seg_q, seg_k, pos_q, pos_k):
+    """Pick the minimal rectangle of work for this rotation, exploiting the
+    zigzag layout's half-chunk structure (each shard's first half holds
+    strictly lower global positions than its second half — packing.py
+    zigzag_permutation). Branches:
+
+      0: nothing live (fully-masked rotation)           -> skip
+      1: both half-diagonals live                       -> q_full x k_full
+      2: only (q_lo, k_lo) live (kv causally earlier)   -> q_full x k_lo
+      3: only (q_hi, k_hi) live (kv causally later)     -> q_hi  x k_full
+      4: only the (q_hi, k_lo) cross rectangle live     -> q_hi  x k_lo
+
+    Correctness: with ordered halves, ~work(lo,lo) implies ~work(lo,hi)
+    and ~work(hi,hi) implies ~work(lo,hi), so every branch's rectangle is a
+    superset of the live pairs (masking inside the kernel does the rest).
+    Under zigzag this halves ring-attention FLOPs with work balanced across
+    ranks — the TPU rendering of the reference's zigzag_ring_flash_attn
+    load balancing (patch/internlm2_packed_training_patch.py:76-128)."""
+    sq_lo, sq_hi = _halves(seg_q, 1)
+    sk_lo, sk_hi = _halves(seg_k, 1)
+    pq_lo, pq_hi = _halves(pos_q, 1)
+    pk_lo, pk_hi = _halves(pos_k, 1)
+    w_ll = _chunk_has_work(statics, sq_lo, sk_lo, pq_lo, pk_lo)
+    w_hh = _chunk_has_work(statics, sq_hi, sk_hi, pq_hi, pk_hi)
+    w_hl = _chunk_has_work(statics, sq_hi, sk_lo, pq_hi, pk_lo)
+    any_w = w_ll | w_hh | w_hl | _chunk_has_work(
+        statics, sq_lo, sk_hi, pq_lo, pk_hi)
+    return jnp.where(
+        w_ll & w_hh, 1,
+        jnp.where(w_ll, 2, jnp.where(w_hh, 3, jnp.where(any_w, 4, 0))))
+
+
 def _ring_fwd_impl(axis_name, statics, q, k, v, seg_q, seg_k, pos_q, pos_k):
     n = jax.lax.psum(1, axis_name)
     B, Sq, Hq, D = q.shape
+    Hs = Sq // 2
+    # half-chunk skipping needs even halves big enough to feed full kernel
+    # blocks; always safe to fall back to the full-rectangle path
+    use_halves = Sq % 2 == 0 and Hs % 8 == 0 and Hs >= statics.block_q
 
     def step(carry, _):
         out, lse, kc, vc, segc, posc = carry
-        o_i, lse_i = _fwd_dispatch(statics, q, kc, vc, seg_q, segc,
-                                   pos_q, posc)
-        out, lse = _merge(out, lse, o_i, lse_i)
+
+        def skip(args):
+            return args
+
+        def run(q_, kc_, vc_, sq_, sk_, pq_, pk_, q_off):
+            """Compute a sub-rectangle and merge it at q offset q_off."""
+            def impl(args):
+                out, lse = args
+                o_i, lse_i = _fwd_dispatch(statics, q_, kc_, vc_, sq_, sk_,
+                                           pq_, pk_)
+                if q_.shape[1] != Sq:  # pad partial-q results to full
+                    o_i = jnp.pad(o_i.astype(jnp.float32),
+                                  ((0, 0), (q_off, Sq - q_off - q_.shape[1]),
+                                   (0, 0), (0, 0)))
+                    lse_i = jnp.pad(lse_i,
+                                    ((0, 0), (0, 0),
+                                     (q_off, Sq - q_off - q_.shape[1])),
+                                    constant_values=NEG_INF)
+                return _merge(out, lse, o_i, lse_i)
+            return impl
+
+        pred_args = (out, lse)
+        if use_halves:
+            kc_lo, _ = _halves(kc, 1)
+            vc_lo, _ = _halves(vc, 1)
+            sk_lo, _ = _halves(segc, 1)
+            pk_lo, _ = _halves(posc, 1)
+            _, q_hi = _halves(q, 1)
+            _, sq_hi = _halves(seg_q, 1)
+            _, pq_hi = _halves(pos_q, 1)
+            out, lse = jax.lax.switch(
+                _branch_index(statics, seg_q, segc, pos_q, posc),
+                [skip,
+                 run(q, kc, vc, seg_q, segc, pos_q, posc, 0),
+                 run(q, kc_lo, vc_lo, seg_q, sk_lo, pos_q, pk_lo, 0),
+                 run(q_hi, kc, vc, sq_hi, segc, pq_hi, posc, Hs),
+                 run(q_hi, kc_lo, vc_lo, sq_hi, sk_lo, pq_hi, pk_lo, Hs)],
+                pred_args)
+        else:
+            out, lse = jax.lax.cond(
+                _chunk_has_work(statics, seg_q, segc, pos_q, posc),
+                run(q, kc, vc, seg_q, segc, pos_q, posc, 0), skip, pred_args)
         kc, vc, segc, posc = _rotate((kc, vc, segc, posc), axis_name)
         return (out, lse, kc, vc, segc, posc), None
 
@@ -119,15 +215,74 @@ def _ring_fwd(axis_name, statics, q, k, v, seg_q, seg_k, pos_q, pos_k):
 def _ring_bwd(axis_name, statics, res, do):
     q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse = res
     n = jax.lax.psum(1, axis_name)
+    B, Sq = q.shape[:2]
+    Hs = Sq // 2
+    use_halves = Sq % 2 == 0 and Hs % 8 == 0 and Hs >= statics.block_q
 
     def step(carry, _):
         dq_acc, kc, vc, segc, posc, dkc, dvc = carry
-        dq_i, dk_i, dv_i = jax.vmap(
-            lambda *a: _bwd_jnp_1b(*a, statics)
-        )(q, kc, vc, seg_q, segc, pos_q, posc, out, lse, do)
-        dq_acc = dq_acc + dq_i.astype(jnp.float32)
-        dkc = dkc + dk_i.astype(jnp.float32)
-        dvc = dvc + dv_i.astype(jnp.float32)
+
+        def skip(args):
+            return args
+
+        def run(q_slc, k_slc, q_off, k_off):
+            """Backward over a (q rows, kv cols) sub-rectangle; gradients
+            land zero-padded at their offsets."""
+            def impl(args):
+                dq_acc, dkc, dvc = args
+                nq = Sq if q_slc is None else Hs
+                nk = kc.shape[1] if k_slc is None else Hs
+                q_ = q if q_slc is None else \
+                    jax.lax.slice_in_dim(q, q_off, q_off + nq, axis=1)
+                sq_ = seg_q if q_slc is None else \
+                    jax.lax.slice_in_dim(seg_q, q_off, q_off + nq, axis=1)
+                pq_ = pos_q if q_slc is None else \
+                    jax.lax.slice_in_dim(pos_q, q_off, q_off + nq, axis=1)
+                out_ = out if q_slc is None else \
+                    jax.lax.slice_in_dim(out, q_off, q_off + nq, axis=1)
+                do_ = do if q_slc is None else \
+                    jax.lax.slice_in_dim(do, q_off, q_off + nq, axis=1)
+                lse_ = lse if q_slc is None else \
+                    jax.lax.slice_in_dim(lse, q_off, q_off + nq, axis=2)
+                kc_ = kc if k_slc is None else \
+                    jax.lax.slice_in_dim(kc, k_off, k_off + nk, axis=1)
+                vc_ = vc if k_slc is None else \
+                    jax.lax.slice_in_dim(vc, k_off, k_off + nk, axis=1)
+                sk_ = segc if k_slc is None else \
+                    jax.lax.slice_in_dim(segc, k_off, k_off + nk, axis=1)
+                pk_ = posc if k_slc is None else \
+                    jax.lax.slice_in_dim(posc, k_off, k_off + nk, axis=1)
+                dq_i, dk_i, dv_i = _bwd_dispatch(
+                    statics, q_, kc_, vc_, sq_, sk_, pq_, pk_, out_, lse_,
+                    do_)
+                dq_i = dq_i.astype(jnp.float32)
+                dk_i = dk_i.astype(jnp.float32)
+                dv_i = dv_i.astype(jnp.float32)
+                if q_slc is not None:
+                    pad = ((0, 0), (q_off, Sq - q_off - nq), (0, 0), (0, 0))
+                    dq_i = jnp.pad(dq_i, pad)
+                if k_slc is not None:
+                    Sk = kc.shape[1]
+                    pad = ((0, 0), (k_off, Sk - k_off - nk), (0, 0), (0, 0))
+                    dk_i = jnp.pad(dk_i, pad)
+                    dv_i = jnp.pad(dv_i, pad)
+                return dq_acc + dq_i, dkc + dk_i, dvc + dv_i
+            return impl
+
+        args = (dq_acc, dkc, dvc)
+        if use_halves:
+            dq_acc, dkc, dvc = jax.lax.switch(
+                _branch_index(statics, seg_q, segc, pos_q, posc),
+                [skip,
+                 run(None, None, 0, 0),      # full x full
+                 run(None, "lo", 0, 0),      # q_full x k_lo
+                 run("hi", None, Hs, 0),     # q_hi x k_full
+                 run("hi", "lo", Hs, 0)],    # q_hi x k_lo
+                args)
+        else:
+            dq_acc, dkc, dvc = jax.lax.cond(
+                _chunk_has_work(statics, seg_q, segc, pos_q, posc),
+                run(None, None, 0, 0), skip, args)
         kc, vc, segc, posc, dkc, dvc = _rotate(
             (kc, vc, segc, posc, dkc, dvc), axis_name)
         return (dq_acc, kc, vc, segc, posc, dkc, dvc), None

@@ -77,6 +77,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--freeze_mlp", action="store_true")
     p.add_argument("--unfreeze_lm_head", action="store_true")
     p.add_argument("--unfreeze_vit_layers", type=int, default=0)
+    # compress-seq experimental trainer (finetune.py:159-176)
+    p.add_argument("--compress_seq", action="store_true")
+    p.add_argument("--fuse_method", choices=["add", "cross-attn"],
+                   default="add")
+    p.add_argument("--compress_method", choices=["avg"], default="avg")
+    p.add_argument("--chunk_num", type=int, default=4,
+                   help="compress-seq chunks per sequence")
     # optimizer
     p.add_argument("--learning_rate", type=float, default=4e-5)
     p.add_argument("--weight_decay", type=float, default=0.01)
@@ -130,6 +137,9 @@ def main(argv=None):
         max_dynamic_patch=args.max_dynamic_patch,
         min_dynamic_patch=args.min_dynamic_patch,
         force_image_size=args.force_image_size,
+        compress_seq=args.compress_seq, fuse_method=args.fuse_method,
+        compress_method=args.compress_method,
+        chunk_num=args.chunk_num if args.compress_seq else cfg.chunk_num,
         vision=dataclasses.replace(cfg.vision,
                                    drop_path_rate=args.drop_path_rate))
 
@@ -144,6 +154,11 @@ def main(argv=None):
                                              dtype)
     else:
         params = init_vlm_params(jax.random.PRNGKey(args.seed), cfg, dtype)
+    if args.compress_seq:
+        from v2pe_tpu.models.compress_seq import init_compress_params
+
+        params["compress"] = init_compress_params(
+            params["llm"], cfg=cfg.llm, fuse_method=args.fuse_method)
 
     dsets = build_datasets(
         args.meta_path, tokenizer,

@@ -51,7 +51,7 @@ def _path_str(path) -> str:
 def _no_decay(path: str, leaf) -> bool:
     return (leaf.ndim <= 1 and not path.startswith("llm/tok_embeddings")) or \
         "norm" in path or path.endswith("ls1") or path.endswith("ls2") or \
-        "bias" in path
+        "bias" in path or path.startswith("compress/layer_scale")
 
 
 def decay_mask(params):
@@ -69,7 +69,8 @@ def lr_scale_tree(params, tc: TrainConfig):
         scale = 1.0
         if p.startswith("vision/"):
             scale *= tc.vit_lr_scale
-        if p.endswith("/ls1") or p.endswith("/ls2"):
+        if p.endswith("/ls1") or p.endswith("/ls2") or \
+                p.startswith("compress/layer_scale"):
             scale *= tc.layer_scale_lr_scale
         rate = None
         if p.startswith("vision/layers/") and tc.vit_layer_decay_rate != 1.0:
