@@ -182,10 +182,10 @@ def test_llm_forward_paged_matches_full_forward():
 
     for t in range(S_prompt, S_total):
         cache = pk.allocate_rows(cache, jnp.asarray([1], jnp.int32))
-        step_logits, (ks, vs) = llm_forward(
+        # write-then-attend: decode returns the updated cache directly
+        step_logits, cache = llm_forward(
             params, cfg, input_ids=ids[:, t:t + 1],
             rope_pos_ids=pos[:, t:t + 1], paged_cache=cache, attn_impl="jnp")
-        cache = pk.write_all_layers(cache, ks, vs)
         cache = pk.advance_lengths(cache, 1)
         np.testing.assert_allclose(
             np.asarray(step_logits[:, 0]), np.asarray(full_logits[:, t]),

@@ -41,7 +41,12 @@ logger = logging.getLogger(__name__)
 def load_image(path: str):
     from PIL import Image
 
-    img = Image.open(path)
+    from v2pe_tpu.data import object_store
+
+    if object_store.is_remote(path):
+        img = Image.open(object_store.open_blob(path))
+    else:
+        img = Image.open(path)
     img.load()
     return img.convert("RGB")
 
@@ -56,6 +61,9 @@ def read_video_frames(path: str, num_frames: int, sample: str = "rand",
     from the container), truncated at num_frames."""
     from PIL import Image
 
+    from v2pe_tpu.data import object_store
+
+    path = object_store.localize(path)  # cv2/imageio need a real file
     rng = rng or random
     ext = os.path.splitext(path)[1].lower()
     if ext == ".gif":

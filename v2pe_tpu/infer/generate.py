@@ -112,11 +112,16 @@ def generate(
         cache = pk.PagedKVCache.zeros(cfg.llm, B, B * MP + 1, page_size, MP,
                                       dtype=dtype)
         cache = pk.allocate_rows(cache, prompt_lengths)
-        hidden, (ks, vs) = internlm2.llm_forward(
+        hidden, aux = internlm2.llm_forward(
             llm, cfg.llm, inputs_embeds=embeds, rope_pos_ids=rope_pos_ids,
             segment_ids=seg, attn_impl=attn_impl, paged_cache=cache,
             return_hidden=True)
-        cache = pk.write_all_layers(cache, ks, vs, valid_t=prompt_lengths)
+        if isinstance(aux, pk.PagedKVCache):
+            cache = aux  # tiny (<=16 token) prompt: write-then-attend path
+        else:
+            ks, vs = aux
+            cache = pk.write_all_layers(cache, ks, vs,
+                                        valid_t=prompt_lengths)
         cache = cache._replace(lengths=prompt_lengths)
     else:
         cache = KVCache.zeros(cfg.llm, B, max_len, dtype=dtype)
@@ -148,10 +153,11 @@ def generate(
             from v2pe_tpu.infer import paged_kv as pk
 
             cache = pk.allocate_rows(cache, jnp.ones((B,), jnp.int32))
-            logits, (ks, vs) = internlm2.llm_forward(
+            # write-then-attend: llm_forward writes the fresh k/v into the
+            # pages in place and returns the updated cache
+            logits, cache = internlm2.llm_forward(
                 llm, cfg.llm, inputs_embeds=emb, rope_pos_ids=pos[:, None],
                 attn_impl=attn_impl, paged_cache=cache)
-            cache = pk.write_all_layers(cache, ks, vs)
             cache = pk.advance_lengths(cache, 1)
         else:
             logits, cache = internlm2.llm_forward(

@@ -107,6 +107,26 @@ def write_all_layers(cache: PagedKVCache, k_new: jnp.ndarray,
     valid = phys >= 0
     if valid_t is not None:
         valid &= jnp.arange(T, dtype=jnp.int32)[None, :] < valid_t[:, None]
+
+    if T == 1:
+        # decode fast path: per-row dynamic_update_slice — XLA updates the
+        # donated pool IN PLACE (an .at[] scatter copied ~GBs per token)
+        idx = jnp.clip(phys[:, 0] * ps + offset[:, 0], 0, NP * ps - 1)
+
+        def upd1(pages, new):
+            flat = pages.reshape(L, Hkv, NP * ps, hd)
+            for b in range(B):
+                val = jnp.swapaxes(new[:, b], 1, 2).astype(flat.dtype)
+                cur = jax.lax.dynamic_slice(
+                    flat, (0, 0, idx[b], 0), (L, Hkv, 1, hd))
+                val = jnp.where(valid[b, 0], val, cur)
+                flat = jax.lax.dynamic_update_slice(
+                    flat, val, (0, 0, idx[b], 0))
+            return flat.reshape(L, Hkv, NP, ps, hd)
+
+        return cache._replace(k_pages=upd1(cache.k_pages, k_new),
+                              v_pages=upd1(cache.v_pages, v_new))
+
     flat_idx = jnp.where(valid, phys * ps + offset, NP * ps)  # OOB -> drop
     flat_idx = flat_idx.reshape(-1)
 
@@ -159,3 +179,5 @@ def gather_row_kv(cache: PagedKVCache, layer: int
 
 def advance_lengths(cache: PagedKVCache, t) -> PagedKVCache:
     return cache._replace(lengths=cache.lengths + t)
+
+

@@ -95,25 +95,64 @@ def attention_forward(
     k = apply_rotary(k, cos, sin)
 
     new_cache = None
-    if paged is not None:
-        # paged KV: the pool is READ-ONLY here; fresh (k, v) go back to the
-        # caller, which scatters them into pages after the layer scan
-        cache, li = paged
-        new_cache = (k, v)
-        if S <= 16:
-            from v2pe_tpu.ops.paged_attention import paged_decode_attention
+    if paged is not None and S == 1:
+        # paged decode: store-then-attend — a tiny aliased store kernel
+        # writes the fresh k/v into the row's page strictly in place, then
+        # the attention kernel reads the pages (fresh slot included); no
+        # jax-level pool write ever happens
+        from v2pe_tpu.ops.paged_attention import (
+            paged_decode_attention, sharded_paged_decode_attention,
+            sharded_store_fresh_token, store_fresh_token)
+        from v2pe_tpu.parallel import context as pctx
 
+        cache, li, k_pages, v_pages = paged
+        ctx = pctx.current()
+        interp = jax.default_backend() != "tpu"
+        if ctx is not None:
+            k_pages, v_pages = sharded_store_fresh_token(
+                ctx.mesh, ctx.tensor_axis, k, v, k_pages, v_pages,
+                cache.page_table, cache.lengths, li, interpret=interp)
+            out = sharded_paged_decode_attention(
+                ctx.mesh, ctx.tensor_axis, q, None, None, k_pages, v_pages,
+                cache.page_table, cache.lengths, li, interpret=interp,
+                fresh_in_pages=True)
+        else:
+            k_pages, v_pages = store_fresh_token(
+                k, v, k_pages, v_pages, cache.page_table, cache.lengths, li,
+                interpret=interp)
+            out = paged_decode_attention(
+                q, None, None, k_pages, v_pages, cache.page_table,
+                cache.lengths, li, interpret=interp, fresh_in_pages=True)
+        new_cache = (k_pages, v_pages)
+    elif paged is not None and S <= 16:
+        # small multi-token step: attention via the kernel's separate-fresh
+        # fold; fresh (k, v) go back through ys for the caller's scatter
+        from v2pe_tpu.ops.paged_attention import (
+            paged_decode_attention, sharded_paged_decode_attention)
+        from v2pe_tpu.parallel import context as pctx
+
+        cache, li = paged[:2]
+        new_cache = (k, v)
+        ctx = pctx.current()
+        interp = jax.default_backend() != "tpu"
+        if ctx is not None:
+            out = sharded_paged_decode_attention(
+                ctx.mesh, ctx.tensor_axis, q, k, v, cache.k_pages,
+                cache.v_pages, cache.page_table, cache.lengths, li,
+                interpret=interp)
+        else:
             out = paged_decode_attention(
                 q, k, v, cache.k_pages, cache.v_pages, cache.page_table,
-                cache.lengths, li,
-                interpret=jax.default_backend() != "tpu")
-        else:
-            # prefill into an empty paged cache: the prompt attends only to
-            # itself, so run plain (segment-masked) flash over the fresh k/v
-            out = flash_attention(
-                q, k, v, q_segment_ids=segment_ids,
-                kv_segment_ids=segment_ids, q_positions=positions,
-                kv_positions=positions, causal=True, impl=attn_impl)
+                cache.lengths, li, interpret=interp)
+    elif paged is not None:
+        # prefill into an empty paged cache: the prompt attends only to
+        # itself — plain (segment-masked) flash over the fresh k/v; the
+        # caller scatters the ys into pages once
+        new_cache = (k, v)
+        out = flash_attention(
+            q, k, v, q_segment_ids=segment_ids,
+            kv_segment_ids=segment_ids, q_positions=positions,
+            kv_positions=positions, causal=True, impl=attn_impl)
     elif kv_cache_layer is not None and S <= 16 and cache_write_only_new:
         k_buf, v_buf = kv_cache_layer
         out = _two_part_decode_attention(
@@ -268,8 +307,26 @@ def llm_forward(
         seq_len=total_ctx)
     cos, sin = compute_rope_cos_sin(scaled_pos, cfg.head_dim, theta)
 
-    if paged_cache is not None:
-        # pool stays outside the scan carry (read-only); fresh per-layer
+    if paged_cache is not None and S == 1:
+        # decode: pools ride the scan carry; the kernel persists each
+        # layer's fresh k/v in place (input_output_aliases) while
+        # attending. Returns the UPDATED PagedKVCache (lengths not yet
+        # advanced).
+        def scan_body(carry, lp):
+            x, kp, vp, li = carry
+            x, (kp, vp) = layer_forward(
+                lp, cfg, x, cos, sin, segment_ids=segment_ids,
+                positions=positions, attn_impl=attn_impl,
+                paged=(paged_cache, li, kp, vp))
+            return (x, kp, vp, li + 1), None
+
+        (x, kp, vp, _), _ = jax.lax.scan(
+            scan_body,
+            (x, paged_cache.k_pages, paged_cache.v_pages, jnp.int32(0)),
+            params["layers"])
+        new_cache = paged_cache._replace(k_pages=kp, v_pages=vp)
+    elif paged_cache is not None:
+        # prefill: pool stays outside the scan (read-only); fresh per-layer
         # (k, v) come back through ys for one batched scatter by the caller
         def scan_body(carry, lp):
             x, li = carry

@@ -7,8 +7,10 @@ flash_attention.py:6-12, patch/internlm2_packed_training_patch.py:19-75) with:
 * a Pallas TPU forward kernel (``v2pe_tpu.ops.flash_pallas``) — causal /
   bidirectional, segment-id block masking (the cu_seqlens replacement), GQA,
   fp32 accumulation; and
-* a doubly-blocked pure-jnp fallback (runs anywhere, O(S) memory, also the
-  analytic backward until the Pallas backward kernel lands).
+* a doubly-blocked pure-jnp fallback (runs anywhere, O(S) memory); the
+  backward dispatches to the Pallas dq/dkv kernels on TPU
+  (``flash_pallas_bwd``) and the analytic jnp blocked backward elsewhere —
+  both locally and per ring rotation (``parallel/ring.py``).
 
 Layout: q (B, Sq, Hq, D); k/v (B, Sk, Hkv, D); segment ids (B, S) int32 with
 0 = padding; positions (B, S) int32 global token indices used for causality

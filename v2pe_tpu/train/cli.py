@@ -85,6 +85,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--chunk_num", type=int, default=4,
                    help="compress-seq chunks per sequence")
     # optimizer
+    p.add_argument("--use_8bit_optimizer", action="store_true",
+                   help="block-wise int8 Adam moments (bnb Adam8bit "
+                        "analogue, trainer_monkey_patch.py:147-159)")
     p.add_argument("--learning_rate", type=float, default=4e-5)
     p.add_argument("--weight_decay", type=float, default=0.01)
     p.add_argument("--warmup_steps", type=int, default=100)
@@ -194,6 +197,7 @@ def main(argv=None):
         max_grad_norm=args.max_grad_norm, vit_lr_scale=args.vit_lr_scale,
         vit_layer_decay_rate=args.vit_layer_decay_rate,
         grad_accum_steps=args.grad_accum_steps,
+        use_8bit_optimizer=args.use_8bit_optimizer,
         freeze_llm=args.freeze_llm, freeze_backbone=args.freeze_backbone,
         freeze_mlp=args.freeze_mlp, unfreeze_lm_head=args.unfreeze_lm_head,
         unfreeze_vit_layers=args.unfreeze_vit_layers)

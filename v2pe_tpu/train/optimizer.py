@@ -36,6 +36,8 @@ class TrainConfig:
     grad_accum_steps: int = 1
     # freeze flags (internvl_chat_finetune.py:110-138, applied :1375-1400):
     # frozen subtrees get zero gradient before Adam, so moments stay clean
+    use_8bit_optimizer: bool = False  # block-wise int8 Adam state
+                                      # (trainer_monkey_patch.py:147-159)
     freeze_llm: bool = False
     freeze_backbone: bool = False
     freeze_mlp: bool = False
@@ -153,9 +155,15 @@ def build_optimizer(tc: TrainConfig, params) -> optax.GradientTransformation:
         # zero frozen gradients FIRST: the global-norm clip and Adam moments
         # then see exactly what a torch requires_grad=False run would
         steps.append(_scale_by_tree(freeze_mask_tree(params, tc)))
+    if tc.use_8bit_optimizer:
+        from v2pe_tpu.train.adam8bit import scale_by_adam8bit
+
+        adam = scale_by_adam8bit(b1=tc.beta1, b2=tc.beta2, eps=tc.eps)
+    else:
+        adam = optax.scale_by_adam(b1=tc.beta1, b2=tc.beta2, eps=tc.eps)
     steps += [
         optax.clip_by_global_norm(tc.max_grad_norm),
-        optax.scale_by_adam(b1=tc.beta1, b2=tc.beta2, eps=tc.eps),
+        adam,
         optax.add_decayed_weights(tc.weight_decay, mask=decay_mask(params)),
         _scale_by_tree(scales),
         optax.scale_by_learning_rate(lr_schedule(tc)),
