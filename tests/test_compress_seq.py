@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from v2pe_tpu.core.config import debug_tiny
 from v2pe_tpu.models.compress_seq import (compress_avg,
@@ -289,3 +290,52 @@ def test_compress_train_step_integration():
     assert not np.array_equal(
         np.asarray(params["compress"]["interaction"]["wqkv_kernel"]),
         np.asarray(p2["compress"]["interaction"]["wqkv_kernel"]))
+
+
+@pytest.mark.slow
+def test_compress_train_step_sharded_matches_single(jax8):
+    """Compress-seq train step under a data/fsdp/seq/tensor mesh: loss
+    matches the single-device compress step (chunk segmentation rides the
+    same segment-id machinery the sharded attention already handles)."""
+    from v2pe_tpu.core.config import (LLMConfig, MeshConfig, VLMConfig,
+                                      VisionConfig)
+    from v2pe_tpu.models.compress_seq import init_compress_params
+    from v2pe_tpu.models.params import init_vlm_params
+    from v2pe_tpu.parallel.mesh import make_mesh
+    from v2pe_tpu.train.optimizer import TrainConfig, build_optimizer
+    from v2pe_tpu.train.synth import IMG_CONTEXT_ID, make_synthetic_batch
+    from v2pe_tpu.train.train_step import make_train_step, shard_params
+
+    cfg = VLMConfig(
+        vision=VisionConfig(hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            image_size=112, patch_size=14),
+        llm=LLMConfig(vocab_size=92553, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2),
+        compress_seq=True, fuse_method="add", chunk_num=4)
+
+    def setup(mesh_cfg=None):
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+        params["compress"] = init_compress_params(params["llm"],
+                                                  cfg=cfg.llm)
+        tc = TrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=10)
+        tx = build_optimizer(tc, params)
+        batch = make_synthetic_batch(cfg, 2, 256, tiles_per_row=1)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        mesh = make_mesh(mesh_cfg) if mesh_cfg else None
+        if mesh is not None:
+            params = shard_params(params, mesh)
+        opt_state = tx.init(params)
+        step = make_train_step(cfg, tx, mesh, IMG_CONTEXT_ID,
+                               attn_impl="jnp", remat=False, donate=False)
+        return params, opt_state, batch, step
+
+    p0, o0, b0, s0 = setup()
+    _, _, m_ref = s0(p0, o0, b0)
+
+    from v2pe_tpu.core.config import MeshConfig
+    p1, o1, b1, s1 = setup(MeshConfig(data=2, fsdp=2, seq=1, tensor=2))
+    _, _, m = s1(p1, o1, b1)
+    np.testing.assert_allclose(float(m["loss"]), float(m_ref["loss"]),
+                               rtol=2e-4)

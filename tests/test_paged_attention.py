@@ -231,3 +231,39 @@ def test_generate_paged_matches_dense():
     np.testing.assert_array_equal(np.asarray(tok_d), np.asarray(tok_p))
     assert int(n_d) == int(n_p)
     np.testing.assert_array_equal(np.asarray(lens_d), np.asarray(lens_p))
+
+
+def test_chat_paged_matches_dense():
+    """ChatModel(cache_mode='paged') produces the same response text as the
+    dense-cache chat for the same weights/prompt/image."""
+    from PIL import Image
+
+    from v2pe_tpu.core.config import LLMConfig, VLMConfig, VisionConfig
+    from v2pe_tpu.infer.chat import ChatModel
+    from v2pe_tpu.infer.generate import GenerationConfig
+    from v2pe_tpu.models.params import init_vlm_params
+
+    from .test_data_pipeline import _toy_tokenizer
+
+    tok = _toy_tokenizer()
+    cfg = VLMConfig(
+        vision=VisionConfig(hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            image_size=56, patch_size=14),
+        llm=LLMConfig(vocab_size=len(tok), hidden_size=32,
+                      intermediate_size=64, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2),
+        max_dynamic_patch=2)
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    img = Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (64, 80, 3), np.uint8))
+    gc = GenerationConfig(max_new_tokens=6)
+
+    dense = ChatModel(params, cfg, tok, attn_impl="jnp")
+    paged = ChatModel(params, cfg, tok, attn_impl="jnp",
+                      cache_mode="paged", page_size=8)
+    pv, n = dense.load_pixels(img)
+    r_d = dense.chat(pv, "Describe.", gc)
+    pv2, _ = paged.load_pixels(img)
+    r_p = paged.chat(pv2, "Describe.", gc)
+    assert r_d == r_p

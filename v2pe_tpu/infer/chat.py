@@ -28,11 +28,17 @@ class ChatModel:
     exposes chat()/batch_chat() with reference-compatible semantics."""
 
     def __init__(self, params, cfg: VLMConfig, tokenizer,
-                 attn_impl: str = "auto"):
+                 attn_impl: str = "auto", cache_mode: str = "dense",
+                 page_size: int = 128):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.attn_impl = attn_impl
+        # 'paged' routes decode through the Pallas paged-attention kernels
+        # (ops/paged_attention.py) — ~roofline decode at long context and a
+        # shared page pool across ragged batch rows
+        self.cache_mode = cache_mode
+        self.page_size = page_size
         self.img_context_token_id = tokenizer.convert_tokens_to_ids(
             IMG_CONTEXT_TOKEN)
         self.img_start_id = tokenizer.convert_tokens_to_ids(IMG_START_TOKEN)
@@ -131,6 +137,8 @@ class ChatModel:
             jnp.asarray(flags),
             self.img_context_token_id,
             attn_impl=self.attn_impl,
+            cache_mode=self.cache_mode,
+            page_size=self.page_size,
         )
         response = self._decode(np.asarray(tokens[0]),
                                 int(np.asarray(gen_lens)[0]))
