@@ -36,6 +36,12 @@ def score_jsonl(path: str, task_name: str = "") -> Dict:
             entry = json.loads(line)
             x = entry["context_length"]
             y = entry["placed_depth"]
+            # merged worker outputs may carry these as strings
+            # (eval_logs/mmniah committed jsonls do)
+            if isinstance(x, str):
+                x = float(x)
+            if isinstance(y, str):
+                y = json.loads(y)
             if isinstance(y, list):
                 y = sum(y) / len(y)
             if y == 1.0:
