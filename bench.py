@@ -230,6 +230,15 @@ def main():
         extras["prefill_ttftpath_tok_s_32k_32tiles"] = round(tp32, 1)
         extras["ttft_s_32k_32tiles"] = round(ttft32, 3)
         del batch32k
+        if os.environ.get("V2PE_BENCH_128K"):
+            # opt-in: the 128k compile alone takes ~15+ min on this box
+            # (measured 2026-08-17: 5,366 tok/s, TTFT 24.4 s, 5.1 GB temp)
+            b128 = mkbatch(131072, 64)
+            tp128, ttft128 = _ttft_prefill(jax, jnp, cfg, params, b128,
+                                           internvl_chat, internlm2)
+            extras["prefill_ttftpath_tok_s_128k_64tiles"] = round(tp128, 1)
+            extras["ttft_s_128k_64tiles"] = round(ttft128, 3)
+            del b128
     except Exception as e:  # never lose the headline to an extra
         extras["prefill_32k_error"] = repr(e)[:200]
     try:

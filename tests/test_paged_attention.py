@@ -267,3 +267,38 @@ def test_chat_paged_matches_dense():
     pv2, _ = paged.load_pixels(img)
     r_p = paged.chat(pv2, "Describe.", gc)
     assert r_d == r_p
+
+
+def test_stream_generate_paged_matches_dense():
+    """Chunked streaming decode over the paged cache yields the same token
+    stream as the dense cache (the serve worker's cache_mode knob)."""
+    from v2pe_tpu.core.config import LLMConfig, VLMConfig, VisionConfig
+    from v2pe_tpu.infer.generate import GenerationConfig
+    from v2pe_tpu.infer.streaming import stream_generate
+    from v2pe_tpu.models.params import init_vlm_params
+
+    cfg = VLMConfig(
+        vision=VisionConfig(hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            image_size=56, patch_size=14),
+        llm=LLMConfig(vocab_size=300, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2))
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    nit = cfg.num_image_token
+    ids = np.concatenate([np.arange(10, 20), [290], [291] * nit, [292],
+                          np.arange(30, 37)]).astype(np.int32)[None]
+    pos = np.arange(ids.shape[1], dtype=np.float32)[None]
+    pixels = np.random.RandomState(0).randn(1, 3, 56, 56).astype(np.float32)
+    gc = GenerationConfig(max_new_tokens=9)
+
+    def run(mode):
+        toks = []
+        for chunk in stream_generate(
+                params, cfg, gc, ids, pos, pixels,
+                np.ones((1,), np.int32), 291, chunk=4, attn_impl="jnp",
+                cache_mode=mode, page_size=8):
+            toks.extend(int(t) for t in chunk)
+        return toks
+
+    assert run("dense") == run("paged")

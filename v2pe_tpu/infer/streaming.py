@@ -22,11 +22,13 @@ from v2pe_tpu.models.internlm2 import KVCache
 
 
 @partial(jax.jit, static_argnames=("cfg", "gc", "img_context_token_id",
-                                   "attn_impl", "max_total"))
+                                   "attn_impl", "max_total", "cache_mode",
+                                   "page_size"))
 def _prefill(params, cfg: VLMConfig, gc: GenerationConfig, input_ids,
              rope_pos_ids, pixel_values, image_flags,
              img_context_token_id: int, max_total: int, rng,
-             attn_impl: str = "auto"):
+             attn_impl: str = "auto", cache_mode: str = "dense",
+             page_size: int = 128):
     llm = params["llm"]
     B, S = input_ids.shape
     embeds = llm["tok_embeddings"][input_ids]
@@ -34,11 +36,28 @@ def _prefill(params, cfg: VLMConfig, gc: GenerationConfig, input_ids,
                                         attn_impl=attn_impl)
     embeds = internvl_chat.scatter_image_embeds(
         embeds, input_ids, vit, image_flags, img_context_token_id)
-    cache = KVCache.zeros(cfg.llm, B, max_total,
-                          dtype=llm["tok_embeddings"].dtype)
-    hidden, cache = internlm2.llm_forward(
-        llm, cfg.llm, inputs_embeds=embeds, rope_pos_ids=rope_pos_ids,
-        attn_impl=attn_impl, kv_cache=cache, return_hidden=True)
+    if cache_mode == "paged":
+        from v2pe_tpu.infer import paged_kv as pk
+
+        MP = -(-max_total // page_size)
+        cache = pk.PagedKVCache.zeros(cfg.llm, B, B * MP + 1, page_size, MP,
+                                      dtype=llm["tok_embeddings"].dtype)
+        lens = jnp.full((B,), S, jnp.int32)
+        cache = pk.allocate_rows(cache, lens)
+        hidden, aux = internlm2.llm_forward(
+            llm, cfg.llm, inputs_embeds=embeds, rope_pos_ids=rope_pos_ids,
+            attn_impl=attn_impl, paged_cache=cache, return_hidden=True)
+        if isinstance(aux, pk.PagedKVCache):
+            cache = aux  # tiny prompt: store-then-attend path
+        else:
+            cache = pk.write_all_layers(cache, *aux)
+        cache = cache._replace(lengths=lens)
+    else:
+        cache = KVCache.zeros(cfg.llm, B, max_total,
+                              dtype=llm["tok_embeddings"].dtype)
+        hidden, cache = internlm2.llm_forward(
+            llm, cfg.llm, inputs_embeds=embeds, rope_pos_ids=rope_pos_ids,
+            attn_impl=attn_impl, kv_cache=cache, return_hidden=True)
     last_logits = jnp.dot(hidden[:, -1:], llm["output_kernel"],
                           preferred_element_type=jnp.float32)[:, 0]
     tok0 = _sample(last_logits, gc, rng).astype(jnp.int32)
@@ -56,13 +75,23 @@ def _decode_chunk(params, cfg: VLMConfig, gc: GenerationConfig, cache,
 
     cnt = jnp.zeros((B,), jnp.int32)
 
+    from v2pe_tpu.infer import paged_kv as pk
+
     def body(i, state):
         cache, tok, pos, done, out, cnt, key = state
         key, sub = jax.random.split(key)
         emb = llm["tok_embeddings"][tok][:, None, :]
-        logits, cache = internlm2.llm_forward(
-            llm, cfg.llm, inputs_embeds=emb, rope_pos_ids=pos[:, None],
-            attn_impl=attn_impl, kv_cache=cache)
+        if isinstance(cache, pk.PagedKVCache):
+            # paged: dispatch on the cache TYPE (static at trace time)
+            cache = pk.allocate_rows(cache, jnp.ones((B,), jnp.int32))
+            logits, cache = internlm2.llm_forward(
+                llm, cfg.llm, inputs_embeds=emb, rope_pos_ids=pos[:, None],
+                attn_impl=attn_impl, paged_cache=cache)
+            cache = pk.advance_lengths(cache, 1)
+        else:
+            logits, cache = internlm2.llm_forward(
+                llm, cfg.llm, inputs_embeds=emb, rope_pos_ids=pos[:, None],
+                attn_impl=attn_impl, kv_cache=cache)
         nxt = _sample(logits[:, -1], gc, sub).astype(jnp.int32)
         nxt = jnp.where(done, 0, nxt)
         out = out.at[:, i].set(nxt)
@@ -85,6 +114,8 @@ def stream_generate(
     chunk: int = 8,
     attn_impl: str = "auto",
     rng: Optional[jax.Array] = None,
+    cache_mode: str = "dense",
+    page_size: int = 128,
 ) -> Iterator[np.ndarray]:
     """Yields int32 token chunks until EOS or max_new_tokens."""
     if rng is None:
@@ -95,7 +126,8 @@ def stream_generate(
                           jnp.asarray(rope_pos_ids),
                           jnp.asarray(pixel_values), jnp.asarray(image_flags),
                           img_context_token_id, max_total, rng,
-                          attn_impl=attn_impl)
+                          attn_impl=attn_impl, cache_mode=cache_mode,
+                          page_size=page_size)
     eos = set(gc.eos_token_ids)
     done = jnp.asarray([int(tok[0]) in eos]) if eos else jnp.asarray([False])
     if not bool(done[0]):

@@ -156,7 +156,9 @@ class ModelWorker:
                 pos[None].astype(np.float32),
                 pixels.astype(dtype), flags,
                 self.model.img_context_token_id,
-                attn_impl=self.model.attn_impl):
+                attn_impl=self.model.attn_impl,
+                cache_mode=getattr(self.model, "cache_mode", "dense"),
+                page_size=getattr(self.model, "page_size", 128)):
             stop_ids = set(gc.eos_token_ids)
             keep = [int(t) for t in chunk if int(t) not in stop_ids]
             text += self.model.tokenizer.decode(
