@@ -135,3 +135,101 @@ def test_padding_rows_produce_finite_output():
         assert bool(jnp.all(jnp.isfinite(out)))
         # fully-masked query rows are exactly zero
         np.testing.assert_array_equal(np.asarray(out[:, 40:]), 0.0)
+
+
+class TestFusedRope:
+    """rope_positions: rotary fused into the attention call must equal
+    pre-rotating q/k with apply_rotary (fwd and bwd, jnp + pallas-interpret),
+    including fractional V2PE ids."""
+
+    def _setup(self, seed=0, B=1, S=256, Hq=4, Hkv=2, D=64):
+        import numpy as np
+
+        from v2pe_tpu.ops.rope import apply_rotary, compute_rope_cos_sin
+
+        rng = np.random.RandomState(seed)
+        q = jnp.asarray(rng.randn(B, S, Hq, D), jnp.float32)
+        k = jnp.asarray(rng.randn(B, S, Hkv, D), jnp.float32)
+        v = jnp.asarray(rng.randn(B, S, Hkv, D), jnp.float32)
+        # fractional V2PE-style ids
+        ids = jnp.asarray(
+            np.cumsum(rng.choice([0.25, 1.0], size=(B, S))), jnp.float32
+        ).reshape(B, S)
+        theta = 10000.0
+        cos, sin = compute_rope_cos_sin(ids, D, theta)
+        q_rot = apply_rotary(q, cos, sin)
+        k_rot = apply_rotary(k, cos, sin)
+        return q, k, v, ids, theta, q_rot, k_rot
+
+    @pytest.mark.parametrize("impl", ["jnp", "pallas"])
+    def test_forward_matches_prerotated(self, impl):
+        import numpy as np
+
+        q, k, v, ids, theta, q_rot, k_rot = self._setup()
+        ref = flash_attention(q_rot, k_rot, v, causal=True, impl=impl,
+                              block_q=128, block_k=128)
+        got = flash_attention(q, k, v, causal=True, impl=impl,
+                              block_q=128, block_k=128,
+                              rope_positions=(ids, ids, theta))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        # q-only fusion (the production path: k arrives pre-rotated)
+        got_q = flash_attention(q, k_rot, v, causal=True, impl=impl,
+                                block_q=128, block_k=128,
+                                rope_positions=(ids, None, theta))
+        np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("impl", ["jnp", "pallas"])
+    def test_backward_matches_prerotated(self, impl):
+        import numpy as np
+
+        from v2pe_tpu.ops.rope import apply_rotary, compute_rope_cos_sin
+
+        q, k, v, ids, theta, _, _ = self._setup(seed=1)
+        D = q.shape[-1]
+        cos, sin = compute_rope_cos_sin(ids, D, theta)
+
+        def loss_ref(q, k, v):
+            o = flash_attention(apply_rotary(q, cos, sin),
+                                apply_rotary(k, cos, sin), v, causal=True,
+                                impl=impl, block_q=128, block_k=128)
+            return jnp.sum(jnp.sin(o))
+
+        def loss_fused(q, k, v):
+            o = flash_attention(q, k, v, causal=True, impl=impl,
+                                block_q=128, block_k=128,
+                                rope_positions=(ids, ids, theta))
+            return jnp.sum(jnp.sin(o))
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(g_fused, g_ref, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5, err_msg=name)
+
+    def test_llm_forward_unchanged_by_fusion(self):
+        """llm_forward (which now fuses rope on the no-cache path) still
+        matches a manual forward with jnp-level rotary."""
+        import numpy as np
+
+        from v2pe_tpu.core.config import debug_tiny
+        from v2pe_tpu.models.internlm2 import llm_forward
+        from v2pe_tpu.models.params import init_llm_params
+
+        cfg = debug_tiny(vocab_size=128).llm
+        params = init_llm_params(jax.random.PRNGKey(0), cfg)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (1, 48), 0, 128)
+        pos = jnp.asarray(
+            np.cumsum(np.random.RandomState(0).choice(
+                [0.25, 1.0], size=(1, 48)), axis=1), jnp.float32)
+        # fused (no-cache) vs the cache path at full length (jnp rotary)
+        full, _ = llm_forward(params, cfg, input_ids=ids, rope_pos_ids=pos,
+                              attn_impl="jnp")
+        from v2pe_tpu.models.internlm2 import KVCache
+        cache = KVCache.zeros(cfg, 1, 48, dtype=jnp.float32)
+        via_cache, _ = llm_forward(params, cfg, input_ids=ids,
+                                   rope_pos_ids=pos, kv_cache=cache,
+                                   attn_impl="jnp")
+        np.testing.assert_allclose(np.asarray(full), np.asarray(via_cache),
+                                   rtol=2e-4, atol=2e-4)

@@ -78,6 +78,7 @@ def attention_forward(
     kv_valid: Optional[jnp.ndarray] = None,
     cache_write_only_new: bool = False,
     paged: Optional[tuple] = None,
+    rope_pack: Optional[tuple] = None,  # (scaled_pos (B,S) f32, theta)
 ):
     """One attention block. If kv_cache_layer=(k_buf, v_buf) is given,
     attention runs over cache + new tokens. With cache_write_only_new the
@@ -91,7 +92,17 @@ def attention_forward(
     if cfg.bias:
         qkv = qkv + p["wqkv_bias"]
     q, k, v = split_wqkv(qkv, cfg)
-    q = apply_rotary(q, cos, sin)
+    # no-cache path: Q's rotary is FUSED into the flash kernel (rotated
+    # once per block into VMEM scratch from the rope_pack float32 ids) —
+    # skipping Q's jnp-level apply_rotary saves its HBM round trips. K
+    # stays on the jnp path: the kernel revisits k blocks per q block, so
+    # in-kernel k rotation recomputes cos/sin per visit (measured 36%
+    # SLOWER than the jnp rotary at 8k). Cache/paged decode keeps the jnp
+    # rotary for both (1-token, trivial).
+    fused_rope = (rope_pack is not None and kv_cache_layer is None
+                  and paged is None)
+    if not fused_rope:
+        q = apply_rotary(q, cos, sin)
     k = apply_rotary(k, cos, sin)
 
     new_cache = None
@@ -185,7 +196,9 @@ def attention_forward(
             q, k, v,
             q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
             q_positions=positions, kv_positions=positions,
-            causal=True, impl=attn_impl)
+            causal=True, impl=attn_impl,
+            rope_positions=(rope_pack[0], None, rope_pack[1])
+            if fused_rope else None)
 
     out = out.reshape(B, S, cfg.num_attention_heads * cfg.head_dim)
     out = _dot(out, p["wo_kernel"])
@@ -242,13 +255,15 @@ def mlp_forward(p: dict, x: jnp.ndarray) -> jnp.ndarray:
 
 def layer_forward(p, cfg: LLMConfig, x, cos, sin, *, segment_ids, positions,
                   attn_impl, kv_cache_layer=None, cache_length=None,
-                  kv_valid=None, cache_write_only_new=False, paged=None):
+                  kv_valid=None, cache_write_only_new=False, paged=None,
+                  rope_pack=None):
     h = rms_norm(x, p["attention_norm"], cfg.rms_norm_eps)
     attn_out, new_cache = attention_forward(
         p, cfg, h, cos, sin, segment_ids=segment_ids, positions=positions,
         attn_impl=attn_impl, kv_cache_layer=kv_cache_layer,
         cache_length=cache_length, kv_valid=kv_valid,
-        cache_write_only_new=cache_write_only_new, paged=paged)
+        cache_write_only_new=cache_write_only_new, paged=paged,
+        rope_pack=rope_pack)
     x = x + attn_out
     h = rms_norm(x, p["ffn_norm"], cfg.rms_norm_eps)
     x = x + mlp_forward(p, h)
@@ -306,6 +321,9 @@ def llm_forward(
         max_position_embeddings=cfg.max_position_embeddings,
         seq_len=total_ctx)
     cos, sin = compute_rope_cos_sin(scaled_pos, cfg.head_dim, theta)
+    # fused-kernel rope needs a STATIC theta (dynamic-NTK yields a tracer)
+    rope_pack = (scaled_pos, float(theta)) \
+        if isinstance(theta, (int, float)) else None
 
     if paged_cache is not None and S == 1:
         # decode: pools ride the scan carry; the kernel persists each
@@ -343,7 +361,8 @@ def llm_forward(
         def run_layer(lp, x):
             out, _ = layer_forward(lp, cfg, x, cos, sin,
                                    segment_ids=segment_ids,
-                                   positions=positions, attn_impl=attn_impl)
+                                   positions=positions, attn_impl=attn_impl,
+                                   rope_pack=rope_pack)
             return out
 
         if remat:

@@ -42,6 +42,9 @@ class AttnStatics(NamedTuple):
     impl: str  # 'jnp' | 'pallas'
     ordered: bool = True  # positions are plain arange (enables block skip)
     interpret: bool = False
+    rope_theta: float = 0.0  # >0: rotary fused INTO the kernel from the
+    # rope_q/rope_k fp32 id vectors (saves the q/k HBM round trips of a
+    # jnp-level apply_rotary — measured ~8% of LLM prefill)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -274,7 +277,32 @@ def _bwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_dispatch(statics: AttnStatics, q, k, v, seg_q, seg_k, pos_q, pos_k):
+def _apply_rope_jnp(q, k, rope_q, rope_k, theta):
+    """rope_k=None means only q is (still) unrotated (q-only fusion)."""
+    from v2pe_tpu.ops.rope import apply_rotary, compute_rope_cos_sin
+
+    cos_q, sin_q = compute_rope_cos_sin(rope_q, q.shape[-1], theta)
+    q = apply_rotary(q, cos_q, sin_q)
+    if rope_k is not None:
+        cos_k, sin_k = compute_rope_cos_sin(rope_k, k.shape[-1], theta)
+        k = apply_rotary(k, cos_k, sin_k)
+    return q, k
+
+
+def _rope_transpose(g, rope, theta):
+    """R^T for the rotation R = cos*I + sin*rot_half (rot_half^T =
+    -rot_half): maps a gradient w.r.t. rotated states back to the
+    pre-rotation states."""
+    from v2pe_tpu.ops.rope import _rotate_half, compute_rope_cos_sin
+
+    cos, sin = compute_rope_cos_sin(rope, g.shape[-1], theta)
+    cos, sin = cos[..., None, :], sin[..., None, :]
+    gf = g.astype(jnp.float32)
+    return (gf * cos - _rotate_half(gf) * sin).astype(g.dtype)
+
+
+def _fwd_dispatch(statics: AttnStatics, q, k, v, seg_q, seg_k, pos_q, pos_k,
+                  rope_q=None, rope_k=None):
     if statics.impl == "pallas":
         from v2pe_tpu.ops import flash_pallas
 
@@ -282,7 +310,10 @@ def _fwd_dispatch(statics: AttnStatics, q, k, v, seg_q, seg_k, pos_q, pos_k):
             q, k, v, seg_q, seg_k, pos_q, pos_k,
             causal=statics.causal, scale=statics.scale,
             block_q=statics.block_q, block_k=statics.block_k,
-            ordered=statics.ordered, interpret=statics.interpret)
+            ordered=statics.ordered, interpret=statics.interpret,
+            rope_q=rope_q, rope_k=rope_k, rope_theta=statics.rope_theta)
+    if statics.rope_theta:
+        q, k = _apply_rope_jnp(q, k, rope_q, rope_k, statics.rope_theta)
     out, lse = jax.vmap(
         lambda *a: _fwd_jnp_1b(*a, statics))(q, k, v, seg_q, seg_k,
                                              pos_q, pos_k)
@@ -290,18 +321,23 @@ def _fwd_dispatch(statics: AttnStatics, q, k, v, seg_q, seg_k, pos_q, pos_k):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _flash(statics: AttnStatics, q, k, v, seg_q, seg_k, pos_q, pos_k):
-    out, _ = _fwd_dispatch(statics, q, k, v, seg_q, seg_k, pos_q, pos_k)
+def _flash(statics: AttnStatics, q, k, v, seg_q, seg_k, pos_q, pos_k,
+           rope_q=None, rope_k=None):
+    out, _ = _fwd_dispatch(statics, q, k, v, seg_q, seg_k, pos_q, pos_k,
+                           rope_q, rope_k)
     return out
 
 
-def _flash_fwd(statics, q, k, v, seg_q, seg_k, pos_q, pos_k):
-    out, lse = _fwd_dispatch(statics, q, k, v, seg_q, seg_k, pos_q, pos_k)
-    return out, (q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse)
+def _flash_fwd(statics, q, k, v, seg_q, seg_k, pos_q, pos_k,
+               rope_q=None, rope_k=None):
+    out, lse = _fwd_dispatch(statics, q, k, v, seg_q, seg_k, pos_q, pos_k,
+                             rope_q, rope_k)
+    return out, (q, k, v, seg_q, seg_k, pos_q, pos_k, rope_q, rope_k, out,
+                 lse)
 
 
 def _bwd_dispatch(statics: AttnStatics, q, k, v, seg_q, seg_k, pos_q, pos_k,
-                  out, lse, do):
+                  out, lse, do, rope_q=None, rope_k=None):
     """Backward kernel dispatch shared by the local custom_vjp and the ring
     backward (parallel/ring.py uses it per rotation step)."""
     if statics.impl == "pallas":
@@ -311,17 +347,29 @@ def _bwd_dispatch(statics: AttnStatics, q, k, v, seg_q, seg_k, pos_q, pos_k,
             q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do,
             causal=statics.causal, scale=statics.scale,
             block_q=statics.block_q, block_k=statics.block_k,
-            ordered=statics.ordered, interpret=statics.interpret)
+            ordered=statics.ordered, interpret=statics.interpret,
+            rope_q=rope_q, rope_k=rope_k, rope_theta=statics.rope_theta)
+    if statics.rope_theta:
+        # residuals hold PRE-rotation q/k: rotate for the recomputation,
+        # then rotate the resulting dq/dk back (R is orthogonal)
+        q_r, k_r = _apply_rope_jnp(q, k, rope_q, rope_k, statics.rope_theta)
+        dq, dk, dv = jax.vmap(
+            lambda *a: _bwd_jnp_1b(*a, statics))(q_r, k_r, v, seg_q, seg_k,
+                                                 pos_q, pos_k, out, lse, do)
+        dq = _rope_transpose(dq, rope_q, statics.rope_theta)
+        if rope_k is not None:
+            dk = _rope_transpose(dk, rope_k, statics.rope_theta)
+        return dq, dk, dv
     return jax.vmap(
         lambda *a: _bwd_jnp_1b(*a, statics))(q, k, v, seg_q, seg_k,
                                              pos_q, pos_k, out, lse, do)
 
 
 def _flash_bwd(statics, res, do):
-    q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse = res
+    q, k, v, seg_q, seg_k, pos_q, pos_k, rope_q, rope_k, out, lse = res
     dq, dk, dv = _bwd_dispatch(statics, q, k, v, seg_q, seg_k, pos_q, pos_k,
-                               out, lse, do)
-    return dq, dk, dv, None, None, None, None
+                               out, lse, do, rope_q, rope_k)
+    return dq, dk, dv, None, None, None, None, None, None
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -346,6 +394,7 @@ def flash_attention(
     block_q: int = 512,   # tuned on v5e: (512,1024) reaches ~100 TFLOPs at 8k
     block_k: int = 1024,
     impl: str = "auto",
+    rope_positions=None,  # (rope_q (B,Sq) f32, rope_k (B,Sk) f32, theta)
 ) -> jnp.ndarray:
     """Segment-aware flash attention.
 
@@ -357,6 +406,9 @@ def flash_attention(
         default arange. Ring shards / KV-cache decode pass real offsets.
       causal: causal masking (decoder) or bidirectional (ViT).
       impl: 'auto' (pallas on TPU, jnp elsewhere) | 'pallas' | 'jnp'.
+      rope_positions: when given, q/k arrive UNROTATED and the V2PE rotary
+        (fp32) is applied inside the kernel from these float32 id vectors —
+        avoiding the q/k HBM round trips of a jnp-level apply_rotary.
 
     Returns: (B, Sq, Hq, D) in q.dtype.
     """
@@ -379,11 +431,25 @@ def flash_attention(
     if kv_positions is None:
         kv_positions = jnp.broadcast_to(jnp.arange(Sk, dtype=jnp.int32), (B, Sk))
 
+    rope_q = rope_k = None
+    rope_theta = 0.0
+    if rope_positions is not None:
+        # rope_k may be None: q-only fusion (k arrives pre-rotated — the
+        # kernel would recompute k's cos/sin per (q-block, k-block) visit,
+        # which measured SLOWER than the jnp rotary; q is rotated once per
+        # block into scratch, which is effectively free)
+        rope_q, rope_k, rope_theta = rope_positions
+        rope_q = rope_q.astype(jnp.float32)
+        if rope_k is not None:
+            rope_k = rope_k.astype(jnp.float32)
+
     # decode fast path: a <=16-token query block starves the MXU kernel
     # (1-row blocks); a dense einsum is bandwidth-bound and optimal there
     if Sq <= 16 and Sk > Sq:
         from v2pe_tpu.ops.attention_ref import attention_reference
 
+        if rope_theta:
+            q, k = _apply_rope_jnp(q, k, rope_q, rope_k, rope_theta)
         return attention_reference(
             q, k, v, q_segment_ids=q_segment_ids,
             kv_segment_ids=kv_segment_ids, causal=causal, scale=scale,
@@ -391,12 +457,14 @@ def flash_attention(
 
     statics = AttnStatics(causal=causal, scale=float(scale),
                           block_q=block_q, block_k=block_k, impl=impl,
-                          ordered=ordered, interpret=interpret)
+                          ordered=ordered, interpret=interpret,
+                          rope_theta=float(rope_theta))
     args = (q, k, v,
             q_segment_ids.astype(jnp.int32),
             kv_segment_ids.astype(jnp.int32),
             q_positions.astype(jnp.int32),
-            kv_positions.astype(jnp.int32))
+            kv_positions.astype(jnp.int32),
+            rope_q, rope_k)
 
     from v2pe_tpu.parallel import context as parallel_context
 

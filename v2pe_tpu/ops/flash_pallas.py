@@ -25,6 +25,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -49,12 +50,36 @@ def pick_block(S: int, max_block: int) -> int:
     return best_b if best_b is not None else min(S, max_block)
 
 
+def _rope_block(x, rope_vec, theta: float, sign: float = 1.0):
+    """Rotate a (rows, D) fp32 block by the V2PE rotary at the float32 ids
+    ``rope_vec`` (rows, 1). sign=-1 applies the transpose rotation."""
+    rows, D = x.shape
+    half = D // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, D), 1)
+    exp = (jax.lax.rem(lane, half).astype(jnp.float32) * (2.0 / D))
+    inv = jnp.exp(exp * (-float(np.log(theta))))       # theta^(-2i/D)
+    ang = rope_vec * inv                               # (rows, D)
+    cos = jnp.cos(ang)
+    sin = jnp.sin(ang) * sign
+    rot = jnp.concatenate([-x[:, half:], x[:, :half]], axis=1)
+    return x * cos + rot * sin
+
+
 def _kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
-            q_ref, k_ref, v_ref,
-            out_ref, lse_ref,
-            acc_ref, m_ref, l_ref,
-            *, causal: bool, ordered: bool, scale: float,
-            block_q: int, block_k: int, num_k_blocks: int):
+            *refs,
+            causal: bool, ordered: bool, scale: float,
+            block_q: int, block_k: int, num_k_blocks: int,
+            rope_theta: float, has_rope_k: bool):
+    if rope_theta and has_rope_k:
+        (ropeq_ref, ropek_ref, q_ref, k_ref, v_ref, out_ref, lse_ref,
+         acc_ref, m_ref, l_ref, qrot_ref) = refs
+    elif rope_theta:
+        (ropeq_ref, q_ref, k_ref, v_ref, out_ref, lse_ref,
+         acc_ref, m_ref, l_ref, qrot_ref) = refs
+        ropek_ref = None
+    else:
+        (q_ref, k_ref, v_ref, out_ref, lse_ref,
+         acc_ref, m_ref, l_ref) = refs
     i = pl.program_id(2)
     j = pl.program_id(3)
 
@@ -63,6 +88,11 @@ def _kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
+        if rope_theta:
+            # rotate q ONCE per q block; the scratch copy rides the kv sweep
+            qf = q_ref[0, 0].astype(jnp.float32)
+            rq = jnp.swapaxes(ropeq_ref[0], 0, 1)      # (bq, 1)
+            qrot_ref[...] = _rope_block(qf, rq, rope_theta) * scale
 
     # Static-shape causal block skip (only valid when positions are arange).
     if causal and ordered:
@@ -72,8 +102,15 @@ def _kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32) * scale  # (bq, D)
-        k = k_ref[0, 0].astype(jnp.float32)          # (bk, D)
+        if rope_theta:
+            q = qrot_ref[...]                            # (bq, D) pre-scaled
+            k = k_ref[0, 0].astype(jnp.float32)
+            if has_rope_k:
+                rk = jnp.swapaxes(ropek_ref[0], 0, 1)    # (bk, 1)
+                k = _rope_block(k, rk, rope_theta)
+        else:
+            q = q_ref[0, 0].astype(jnp.float32) * scale  # (bq, D)
+            k = k_ref[0, 0].astype(jnp.float32)          # (bk, D)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)       # (bq, bk)
@@ -129,9 +166,16 @@ def flash_attention_fwd_pallas(
     block_k: int = 1024,
     ordered: bool = True,
     interpret: bool = False,
+    rope_q=None,
+    rope_k=None,
+    rope_theta: float = 0.0,
 ):
     """Forward flash attention. Layout/contract matches attention.py:
     q (B,Sq,Hq,D), k/v (B,Sk,Hkv,D) -> out (B,Sq,Hq,D), lse (B,Hq,Sq) fp32.
+
+    rope_theta > 0: q/k arrive unrotated; the V2PE rotary is applied inside
+    the kernel from the (B, S) float32 ``rope_q``/``rope_k`` id vectors (q
+    rotated once per block into scratch; k per visit).
     """
     B, Sq, Hq, D = q.shape
     _, Sk, Hkv, _ = k.shape
@@ -181,20 +225,41 @@ def flash_attention_fwd_pallas(
     grid = (B, Hq, nq, nk)
     kernel = functools.partial(
         _kernel, causal=causal, ordered=ordered, scale=scale,
-        block_q=bq, block_k=bk, num_k_blocks=nk)
+        block_q=bq, block_k=bk, num_k_blocks=nk,
+        rope_theta=float(rope_theta), has_rope_k=rope_k is not None)
+
+    operands = [seg_q, seg_k, pos_q, pos_k]
+    in_specs = [
+        pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, 0, i)),    # seg_q
+        pl.BlockSpec((1, 1, bk), kv_vec_index),                     # seg_k
+        pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, 0, i)),    # pos_q
+        pl.BlockSpec((1, 1, bk), kv_vec_index),                     # pos_k
+    ]
+    scratch = [
+        pltpu.VMEM((bq, D), jnp.float32),
+        pltpu.VMEM((bq, LANES), jnp.float32),
+        pltpu.VMEM((bq, LANES), jnp.float32),
+    ]
+    if rope_theta:
+        ropeq = padax(rope_q.astype(jnp.float32), 1, Sq_p)[:, None, :]
+        operands += [ropeq]
+        in_specs += [pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, 0, i))]
+        if rope_k is not None:
+            ropek = padax(rope_k.astype(jnp.float32), 1, Sk_p)[:, None, :]
+            operands += [ropek]
+            in_specs += [pl.BlockSpec((1, 1, bk), kv_vec_index)]
+        scratch.append(pltpu.VMEM((bq, D), jnp.float32))  # rotated q
+    operands += [qt, kt, vt]
+    in_specs += [
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, bk, D), kv_index),
+        pl.BlockSpec((1, 1, bk, D), kv_index),
+    ]
 
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, 0, i)),    # seg_q
-            pl.BlockSpec((1, 1, bk), kv_vec_index),                     # seg_k
-            pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, 0, i)),    # pos_q
-            pl.BlockSpec((1, 1, bk), kv_vec_index),                     # pos_k
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bk, D), kv_index),
-            pl.BlockSpec((1, 1, bk, D), kv_index),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
             pl.BlockSpec((1, 1, bq, LANES), lambda b, h, i, j: (b, h, i, 0)),
@@ -203,17 +268,13 @@ def flash_attention_fwd_pallas(
             jax.ShapeDtypeStruct((B, Hq, Sq_p, D), q.dtype),
             jax.ShapeDtypeStruct((B, Hq, Sq_p, LANES), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((bq, D), jnp.float32),
-            pltpu.VMEM((bq, LANES), jnp.float32),
-            pltpu.VMEM((bq, LANES), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(seg_q, seg_k, pos_q, pos_k, qt, kt, vt)
+    )(*operands)
 
     out = jnp.swapaxes(out[:, :, :Sq], 1, 2)  # (B,Sq,Hq,D)
     lse = lse[:, :, :Sq, 0]                   # (B,Hq,Sq)

@@ -144,9 +144,26 @@ def _dq_kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
 def flash_attention_bwd_pallas(
     q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do,
     *, causal, scale, block_q=512, block_k=1024, ordered=True,
-    interpret=False,
+    interpret=False, rope_q=None, rope_k=None, rope_theta: float = 0.0,
 ):
-    """dq, dk, dv. Layout contract matches attention.py (BSHD in/out)."""
+    """dq, dk, dv. Layout contract matches attention.py (BSHD in/out).
+
+    rope_theta > 0: q/k are the PRE-rotation residuals (the fwd kernel
+    fuses the rotary). The backward rotates them here at the jnp level,
+    runs the kernels, and maps dq/dk back through the transpose rotation —
+    the rotation is orthogonal, so this is exact."""
+    if rope_theta:
+        from v2pe_tpu.ops.attention import _apply_rope_jnp, _rope_transpose
+
+        q, k = _apply_rope_jnp(q, k, rope_q, rope_k, rope_theta)
+        dq, dk, dv = flash_attention_bwd_pallas(
+            q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do,
+            causal=causal, scale=scale, block_q=block_q, block_k=block_k,
+            ordered=ordered, interpret=interpret)
+        dq = _rope_transpose(dq, rope_q, rope_theta)
+        if rope_k is not None:
+            dk = _rope_transpose(dk, rope_k, rope_theta)
+        return dq, dk, dv
     B, Sq, Hq, D = q.shape
     _, Sk, Hkv, _ = k.shape
     G = Hq // Hkv

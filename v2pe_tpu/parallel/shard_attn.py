@@ -24,7 +24,8 @@ from v2pe_tpu.parallel.ring import ring_flash_attention
 
 
 def sharded_flash_attention(ctx: ShardingContext, statics: AttnStatics,
-                            q, k, v, seg_q, seg_k, pos_q, pos_k):
+                            q, k, v, seg_q, seg_k, pos_q, pos_k,
+                            rope_q=None, rope_k=None):
     mesh = ctx.mesh
     ba, sa, ta = ctx.batch_axes, ctx.seq_axis, ctx.tensor_axis
     n_tensor = mesh.shape[ta]
@@ -46,10 +47,19 @@ def sharded_flash_attention(ctx: ShardingContext, statics: AttnStatics,
     if statics.causal and n_seq > 1 and Sq % n_seq == 0:
         seq_axis = sa
         tile_axes = batch_axes
-        statics = statics._replace(ordered=False)
+        if statics.rope_theta:
+            # ring: pre-rotate at the jnp level — carrying rotating rope-id
+            # chunks around the ring isn't worth the plumbing (the quadratic
+            # attention dominates at ring-scale contexts)
+            from v2pe_tpu.ops.attention import _apply_rope_jnp
+
+            q, k = _apply_rope_jnp(q, k, rope_q, rope_k, statics.rope_theta)
+        ring_statics = statics._replace(ordered=False, rope_theta=0.0)
 
         def fn(q, k, v, sq, sk, pq, pk):
-            return ring_flash_attention(sa, statics, q, k, v, sq, sk, pq, pk)
+            return ring_flash_attention(sa, ring_statics, q, k, v, sq, sk,
+                                        pq, pk)
+        rope_args, rope_specs = (), ()
     else:
         seq_axis = None
         # bidirectional (ViT): fold seq axis into the tile batch if it fits
@@ -60,16 +70,24 @@ def sharded_flash_attention(ctx: ShardingContext, statics: AttnStatics,
             if B % nb == 0:
                 tile_axes = bigger
 
-        def fn(q, k, v, sq, sk, pq, pk):
-            return _flash(statics, q, k, v, sq, sk, pq, pk)
+        if statics.rope_theta:
+            def fn(q, k, v, sq, sk, pq, pk, rq, rk):
+                return _flash(statics, q, k, v, sq, sk, pq, pk, rq, rk)
+            rope_args = (rope_q, rope_k)
+        else:
+            def fn(q, k, v, sq, sk, pq, pk):
+                return _flash(statics, q, k, v, sq, sk, pq, pk)
+            rope_args = ()
 
     bspec = tile_axes if tile_axes else None
     qspec = P(bspec, seq_axis, head_axis, None)
     vecspec = P(bspec, seq_axis)
+    rope_specs = (vecspec,) * len(rope_args)
 
     return jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(qspec, qspec, qspec, vecspec, vecspec, vecspec, vecspec),
+        in_specs=(qspec, qspec, qspec, vecspec, vecspec, vecspec, vecspec)
+        + rope_specs,
         out_specs=qspec,
         check_vma=False,
-    )(q, k, v, seg_q, seg_k, pos_q, pos_k)
+    )(q, k, v, seg_q, seg_k, pos_q, pos_k, *rope_args)
