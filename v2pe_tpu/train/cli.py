@@ -84,6 +84,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--compress_method", choices=["avg"], default="avg")
     p.add_argument("--chunk_num", type=int, default=4,
                    help="compress-seq chunks per sequence")
+    p.add_argument("--report_to", nargs="*", default=["jsonl"],
+                   choices=["jsonl", "tensorboard", "none"],
+                   help="metrics sinks (HF report_to analogue)")
     # optimizer
     p.add_argument("--use_8bit_optimizer", action="store_true",
                    help="block-wise int8 Adam moments (bnb Adam8bit "
@@ -207,9 +210,12 @@ def main(argv=None):
 
     pixel_dtype = (ml_dtypes.bfloat16 if args.dtype == "bfloat16"
                    else np.float32)
+    from v2pe_tpu.train.metrics import build_metrics_hook
+
+    hook = build_metrics_hook(args.output_dir, args.report_to)
     train(cfg, params, packer, run, tc, mesh_cfg=mesh_cfg,
           img_context_token_id=ctx_id, resume=not args.no_resume,
-          pixel_dtype=pixel_dtype)
+          pixel_dtype=pixel_dtype, metrics_hook=hook)
 
 
 if __name__ == "__main__":
