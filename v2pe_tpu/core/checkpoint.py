@@ -91,14 +91,27 @@ def restore_checkpoint(path: str, params_template, opt_state_template):
 
     params = _restore("params", params_template)
     opt_state = _restore("opt_state", opt_state_template)
-    data_state = None
-    ds_path = os.path.join(
-        path, f"data_state_p{jax.process_index()}.pkl")
-    if not os.path.exists(ds_path):  # pre-multihost layout
-        ds_path = os.path.join(path, "data_state.pkl")
-    if os.path.exists(ds_path):
-        with open(ds_path, "rb") as f:
-            data_state = pickle.load(f)
     with open(os.path.join(path, "meta.json")) as f:
-        step = json.load(f)["step"]
+        meta = json.load(f)
+    step = meta["step"]
+    saved_procs = meta.get("num_processes", 1)
+    data_state = None
+    if saved_procs != jax.process_count():
+        # per-process data shards don't remap across process counts —
+        # resuming would mix mid-epoch and fresh iterators silently
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "checkpoint %s was saved by %d processes but this run has %d; "
+            "data-iterator state is DISCARDED (all processes restart their "
+            "shard) — params/opt state restore normally",
+            path, saved_procs, jax.process_count())
+    else:
+        ds_path = os.path.join(
+            path, f"data_state_p{jax.process_index()}.pkl")
+        if not os.path.exists(ds_path):  # pre-multihost layout
+            ds_path = os.path.join(path, "data_state.pkl")
+        if os.path.exists(ds_path):
+            with open(ds_path, "rb") as f:
+                data_state = pickle.load(f)
     return params, opt_state, step, data_state

@@ -63,40 +63,56 @@ def read_video_frames(path: str, num_frames: int, sample: str = "rand",
 
     from v2pe_tpu.data import object_store
 
+    src = path
     path = object_store.localize(path)  # cv2/imageio need a real file
-    rng = rng or random
-    ext = os.path.splitext(path)[1].lower()
-    if ext == ".gif":
-        import imageio
+    try:
+        rng = rng or random
+        ext = os.path.splitext(path)[1].lower()
+        if ext == ".gif":
+            import imageio
 
-        gif = imageio.get_reader(path)
-        vlen = gif.get_length()
-        # the reference's GIF reader passes no input_fps (dataset.py:189);
-        # fps mode therefore treats GIFs as 1 fps, same as here
-        idxs = _frame_indices(vlen, num_frames, sample, rng)
-        frames = []
-        for i, frame in enumerate(gif):
-            if i in idxs:
-                frames.append(Image.fromarray(frame[..., :3]).convert("RGB"))
-        return frames
-    import cv2
+            gif = imageio.get_reader(path)
+            vlen = gif.get_length()
+            # the reference's GIF reader passes no input_fps
+            # (dataset.py:189); fps mode therefore treats GIFs as 1 fps
+            idx_list = list(_frame_indices(vlen, num_frames, sample, rng))
+            needed = set(idx_list)
+            got = {}
+            for i, frame in enumerate(gif):
+                if i in needed:
+                    got[i] = Image.fromarray(frame[..., :3]).convert("RGB")
+            # assemble in sampled order, PRESERVING duplicates (fps mode
+            # repeats indices when the output rate exceeds the stream fps)
+            return [got[i] for i in idx_list if i in got]
+        import cv2
 
-    cap = cv2.VideoCapture(path)
-    vlen = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-    input_fps = float(cap.get(cv2.CAP_PROP_FPS)) or 1.0
-    idxs = set(_frame_indices(vlen, num_frames, sample, rng,
-                              input_fps=input_fps))
-    frames = []
-    i = 0
-    while True:
-        ok, frame = cap.read()
-        if not ok:
-            break
-        if i in idxs:
-            frames.append(Image.fromarray(frame[:, :, ::-1]))
-        i += 1
-    cap.release()
-    return frames
+        cap = cv2.VideoCapture(path)
+        vlen = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        input_fps = float(cap.get(cv2.CAP_PROP_FPS)) or 1.0
+        idx_list = list(_frame_indices(vlen, num_frames, sample, rng,
+                                       input_fps=input_fps))
+        needed = set(idx_list)
+        got = {}
+        i = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if i in needed:
+                got[i] = Image.fromarray(frame[:, :, ::-1])
+            i += 1
+        cap.release()
+        # sampled order with duplicates kept (fps mode repeats frames to
+        # hold the requested output rate on low-fps inputs, dataset.py:61-71)
+        return [got[i] for i in idx_list if i in got]
+    finally:
+        if path != src:
+            # localize() downloaded a remote blob to a temp file — clean it
+            # up, or a long eval over gs://-hosted videos fills the disk
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
 
 
 def _frame_indices(vlen: int, num_frames: int, sample: str, rng,

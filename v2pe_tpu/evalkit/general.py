@@ -19,6 +19,7 @@ Item schemas (one json per line):
 from __future__ import annotations
 
 import json
+import os
 from typing import Dict, Optional, Sequence
 
 import numpy as np
@@ -88,8 +89,11 @@ def build_infer_fn(benchmark: str, chat_model, *, max_tiles: int = 6,
         def infer(item):
             question = mmbench.build_question(item, language)
             img = item.get("image")
-            if img and not img.startswith("/") and len(img) > 260:
-                img = mmbench.decode_image(item)  # base64 TSV column
+            # base64 TSV column vs filesystem path: decide by whether the
+            # string is a real file — base64 of a JPEG starts with "/9j/",
+            # so a startswith("/") test misroutes JPEGs
+            if img and len(img) > 260 and not os.path.exists(img):
+                img = mmbench.decode_image(item)
             pixels, npl = _load_tiles(chat_model, img, max_tiles)
             pred = chat(pixels, question, npl)
             return {"id": str(item["index"]), "index": item["index"],

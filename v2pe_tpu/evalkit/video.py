@@ -44,7 +44,7 @@ def extract_answer_letter(response: str) -> str:
     elif "answer:" in response:
         response = response.split("answer:")[-1].strip()
     elif "the option is" in response:
-        response = response.split("the option is ")[-1].strip()
+        response = response.split("the option is")[-1].strip()
     for ch in response:
         if ch.isalpha():
             return ch

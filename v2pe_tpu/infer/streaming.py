@@ -64,7 +64,10 @@ def _prefill(params, cfg: VLMConfig, gc: GenerationConfig, input_ids,
     return tok0, cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "gc", "chunk", "attn_impl"))
+@partial(jax.jit, static_argnames=("cfg", "gc", "chunk", "attn_impl"),
+         donate_argnums=(3,))  # donate the cache: without aliasing, every
+# chunk call would copy the multi-GB pool/KV buffers at the jit boundary,
+# defeating the in-place store kernel (callers rebind the returned cache)
 def _decode_chunk(params, cfg: VLMConfig, gc: GenerationConfig, cache,
                   tok, pos, done, rng, chunk: int, attn_impl: str = "auto"):
     llm = params["llm"]

@@ -72,6 +72,9 @@ def build_metrics_hook(
             except ImportError:
                 logging.getLogger(__name__).warning(
                     "tensorboard unavailable; logging metrics to jsonl only")
+                if not any(isinstance(s, JsonlMetricsSink) for s in sinks):
+                    sinks.append(JsonlMetricsSink(
+                        os.path.join(output_dir, "metrics.jsonl")))
         elif name == "none":
             pass
         else:
