@@ -126,7 +126,17 @@ def _attention(p: dict, cfg: VisionConfig, x, attn_impl: str):
         k = rms_norm(k.reshape(B, N, D), p["k_norm"], cfg.layer_norm_eps
                      ).reshape(B, N, H, hd)
 
-    out = flash_attention(q, k, v, causal=False, impl=attn_impl)
+    # single-block attention for tile-sized sequences: the 1025-token tile
+    # in (bq=384, bk=576)-style blocks costs ~3x more than one (1152, 1152)
+    # block — the grid collapses from 9 to 1 step per (tile, head), and at
+    # hd=64 the per-step overhead dominates (measured 2.12 -> 0.74 ms per
+    # call for 8 tiles on v5e)
+    if N <= 2048:
+        blk = -(-N // 128) * 128
+        out = flash_attention(q, k, v, causal=False, impl=attn_impl,
+                              block_q=blk, block_k=blk)
+    else:
+        out = flash_attention(q, k, v, causal=False, impl=attn_impl)
     out = out.reshape(B, N, D)
     out = jnp.dot(out, p["proj_kernel"], preferred_element_type=jnp.float32
                   ).astype(x.dtype) + p["proj_bias"]
