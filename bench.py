@@ -134,10 +134,9 @@ def _decode_bench(jax, jnp, cfg, params, ctx_len: int, paged: bool,
                                           MP, dtype=dtype)
             cache = pk.allocate_rows(
                 cache, jnp.full((B,), ctx_len, jnp.int32))
-            hidden, (ks, vs) = internlm2.llm_forward(
+            hidden, cache = internlm2.llm_forward(
                 params["llm"], cfg.llm, input_ids=ids, rope_pos_ids=pos,
                 paged_cache=cache, return_hidden=True)
-            cache = pk.write_all_layers(cache, ks, vs)
             cache = cache._replace(
                 lengths=jnp.full((B,), ctx_len, jnp.int32))
             return cache

@@ -171,10 +171,10 @@ def test_llm_forward_paged_matches_full_forward():
                                   max_pages_per_row=8, dtype=jnp.float32)
     lens = jnp.asarray([S_prompt], jnp.int32)
     cache = pk.allocate_rows(cache, lens)
-    prefill_logits, (ks, vs) = llm_forward(
+    # prefill writes the pages in place and returns the updated cache
+    prefill_logits, cache = llm_forward(
         params, cfg, input_ids=ids[:, :S_prompt],
         rope_pos_ids=pos[:, :S_prompt], paged_cache=cache, attn_impl="jnp")
-    cache = pk.write_all_layers(cache, ks, vs, valid_t=lens)
     cache = cache._replace(lengths=lens)
     np.testing.assert_allclose(np.asarray(prefill_logits),
                                np.asarray(full_logits[:, :S_prompt]),
@@ -190,6 +190,68 @@ def test_llm_forward_paged_matches_full_forward():
         np.testing.assert_allclose(
             np.asarray(step_logits[:, 0]), np.asarray(full_logits[:, t]),
             rtol=1e-5, atol=1e-5, err_msg=f"decode step {t}")
+
+
+def test_llm_forward_paged_long_prompt_in_scan_writes():
+    """>16-token prompts take the carried-pool prefill branch (per-layer
+    in-scan page scatters, no full-KV temp); pages must hold exactly what
+    write_all_layers would have written, and right-padded rows (segment 0)
+    must not write their pad slots."""
+    from v2pe_tpu.core.config import debug_tiny
+    from v2pe_tpu.models.internlm2 import llm_forward
+    from v2pe_tpu.models.params import init_llm_params
+
+    cfg = debug_tiny(vocab_size=300).llm
+    params = init_llm_params(jax.random.PRNGKey(0), cfg)
+    B, S = 2, 24
+    true_lens = jnp.asarray([24, 19], jnp.int32)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, S), 0, 300)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.float32), (B, S))
+    seg = (jnp.arange(S)[None, :] < true_lens[:, None]).astype(jnp.int32)
+
+    cache = pk.PagedKVCache.zeros(cfg, batch=B, n_pages=32, page_size=4,
+                                  max_pages_per_row=8, dtype=jnp.float32)
+    cache = pk.allocate_rows(cache, true_lens)
+
+    logits_a, cache_a = llm_forward(
+        params, cfg, input_ids=ids, rope_pos_ids=pos, segment_ids=seg,
+        paged_cache=cache, attn_impl="jnp")
+    assert isinstance(cache_a, pk.PagedKVCache)
+
+    # golden: reproduce via per-layer capture + write_all_layers
+    from v2pe_tpu.models import internlm2 as m
+
+    hidden, _ = llm_forward(params, cfg, input_ids=ids, rope_pos_ids=pos,
+                            segment_ids=seg, attn_impl="jnp",
+                            return_hidden=True)
+    # capture fresh k/v per layer exactly as the model computes them
+    from v2pe_tpu.ops.rope import apply_rotary, compute_rope_cos_sin
+
+    cos, sin = compute_rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
+    x = params["tok_embeddings"][ids]
+    ks, vs = [], []
+    L = params["layers"]["attention_norm"].shape[0]
+    for li in range(L):
+        lp = jax.tree.map(lambda a: a[li], params["layers"])
+        from v2pe_tpu.ops.norms import rms_norm
+
+        h = rms_norm(x, lp["attention_norm"], cfg.rms_norm_eps)
+        qkv = jnp.dot(h, lp["wqkv_kernel"],
+                      preferred_element_type=jnp.float32).astype(h.dtype)
+        _, k, v = m.split_wqkv(qkv, cfg)
+        k = apply_rotary(k, cos, sin)
+        ks.append(k)
+        vs.append(v)
+        x, _ = m.layer_forward(lp, cfg, x, cos, sin, segment_ids=seg,
+                               positions=None, attn_impl="jnp")
+    cache_b = pk.write_all_layers(cache, jnp.stack(ks), jnp.stack(vs),
+                                  valid_t=true_lens)
+    np.testing.assert_allclose(np.asarray(cache_a.k_pages),
+                               np.asarray(cache_b.k_pages), rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cache_a.v_pages),
+                               np.asarray(cache_b.v_pages), rtol=1e-6,
+                               atol=1e-6)
 
 
 def test_generate_paged_matches_dense():

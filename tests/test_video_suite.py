@@ -185,3 +185,164 @@ def test_mc_video_end_to_end(toy_setup, benchmark, item):
         assert rec["answer"] == "B"  # mapped from answer text
     s = video.score_buckets([rec], video.VIDEO_BUCKET_KEYS[benchmark])
     assert s["overall"]["n"] == 1
+
+
+# ---------------------------------------------------------------------------
+# round 3: the remaining MC benchmarks (nextqa / lvbench / longvideobench /
+# perceptiontest / hourvideo) + open-ended GPT-judge suite
+# ---------------------------------------------------------------------------
+
+
+def test_nextqa_prompt_format():
+    p = video.nextqa_prompt("Why?", ["a", "b", "c", "d", "e"])
+    assert p == (video.MC_VIDEO_INSTRUCTION_5 + "\nWhy?\n"
+                 "A. a\nB. b\nC. c\nD. d\nE. e")
+
+
+def test_lvbench_prompt_no_candidates():
+    # lvbench question strings already embed the options
+    # (utils_lvbench.py:246-249 joins instruction + question only)
+    p = video.lvbench_prompt("Q?\n(A) x\n(B) y")
+    assert p == video.MC_VIDEO_INSTRUCTION + "\nQ?\n(A) x\n(B) y"
+
+
+def test_longvideobench_prompt():
+    p = video.longvideobench_prompt("Q?", ["one", "two"])
+    assert p == video.MC_VIDEO_INSTRUCTION + "\nQ?\nA. one\nB. two"
+
+
+def test_hourvideo_prompt_flatten_fold():
+    p = video.hourvideo_prompt("Q?", "A. x\nB. y")
+    assert p == video.MC_VIDEO_INSTRUCTION_5 + "\nQ?\nA. x\nB. y"
+
+    full = {"vid1": {"benchmark_dataset": [
+        {"qid": "q1", "question": "Q1?", "mcq_test": "A. x\nB. y",
+         "task": "summarization"},
+        {"question": "Q2?", "mcq_test": "A. p\nB. q", "task": "recall"},
+    ]}}
+    items = video.hourvideo_flatten(full)
+    assert len(items) == 2
+    assert items[0]["id"] == "q1" and items[0]["video_uid"] == "vid1"
+    assert items[1]["id"] == "vid1:1"
+
+    results = [dict(it, outputs="A", predicted_answer_label="A",
+                    correct=None, answer=None) for it in items]
+    folded = video.hourvideo_fold(results)
+    assert set(folded) == {"vid1"}
+    qs = folded["vid1"]["benchmark_dataset"]
+    assert len(qs) == 2 and qs[0]["predicted_answer_label"] == "A"
+    assert "video_uid" not in qs[0] and "correct" not in qs[0]
+
+
+def test_score_buckets_list_valued_and_unscored():
+    results = [
+        {"correct": True, "question_type": ["temporal", "spatial"]},
+        {"correct": False, "question_type": ["temporal"]},
+        {"correct": None, "question_type": ["spatial"]},  # gold-less
+    ]
+    s = video.score_buckets(results, ("question_type",))
+    # lvbench counts a sample once per type element (eval_lvbench.py:130-137)
+    assert s["question_type"] == {"spatial": 1.0, "temporal": 0.5}
+    assert s["overall"] == {"accuracy": 0.5, "n": 2}
+    assert s["unscored"] == 1
+
+
+@pytest.mark.parametrize("benchmark,item,want_gold", [
+    ("nextqa", {"id": "n1", "video": "clip.mp4", "question": "Why?",
+                "candidates": ["a", "b", "c", "d", "e"], "answer": 2,
+                "type": "causal"}, "C"),
+    ("perceptiontest", {"id": "p1", "video": "clip.mp4", "question": "Q?",
+                        "candidates": ["x", "y", "z"], "answer": "0",
+                        "type": "memory"}, "A"),
+    ("lvbench", {"id": "lv1", "video": "clip.mp4",
+                 "question": "Q?\n(A) x\n(B) y", "answer": "B",
+                 "uid": "u1", "question_type": ["temporal"],
+                 "time_reference": [0, 1], "file_path": "clip.mp4"}, "B"),
+    ("longvideobench", {"id": "lb1", "video_path": "clip.mp4",
+                        "video": "clip.mp4", "question": "Q?",
+                        "candidates": ["m", "n"], "correct_choice": 1,
+                        "question_category": "E2O"}, "B"),
+    ("hourvideo", {"id": "h1", "video_uid": "clip", "video": "clip.mp4",
+                   "question": "Q?", "mcq_test": "A. x\nB. y",
+                   "answer": "A", "task": "recall"}, "A"),
+])
+def test_new_mc_video_end_to_end(toy_setup, benchmark, item, want_gold):
+    from v2pe_tpu.infer.generate import GenerationConfig
+
+    model, root = toy_setup
+    infer = video.build_mc_video_infer_fn(
+        benchmark, model, root, num_frames=2,
+        generation_config=GenerationConfig(max_new_tokens=4))
+    rec = infer(item)
+    assert rec["answer"] == want_gold
+    assert isinstance(rec["outputs"], str)
+    assert isinstance(rec["correct"], bool)
+    if benchmark == "hourvideo":
+        # reference semantics: first isalpha() char, uppercased
+        # (eval_hourvideo.py:110-115) — any Unicode letter passes isalpha
+        want = video.extract_answer_letter(rec["outputs"])
+        assert rec["predicted_answer_label"] == (want.upper() if want
+                                                 else "")
+    s = video.score_buckets([rec], video.VIDEO_BUCKET_KEYS[benchmark])
+    assert s["overall"]["n"] == 1
+
+
+def test_open_ended_end_to_end_and_gpt_judge(toy_setup, tmp_path):
+    from v2pe_tpu.evalkit import gpt_judge
+    from v2pe_tpu.infer.generate import GenerationConfig
+
+    model, root = toy_setup
+    infer = video.build_open_ended_infer_fn(
+        "msvd", model, root, num_frames=2,
+        generation_config=GenerationConfig(max_new_tokens=4))
+    rec = infer({"id": "q1", "question_id": "q1", "video": "clip.mp4",
+                 "video_name": "clip", "question": "What happens?",
+                 "answer": "nothing"})
+    assert set(rec) == {"question", "question_raw", "answer", "id",
+                        "video_id", "outputs"}
+    assert rec["question"].startswith(video.OPEN_ENDED_INSTRUCTION)
+
+    # judge with a deterministic fake client; duplicate video_id gets _1
+    recs = [rec, dict(rec, id="q2", outputs="other")]
+
+    calls = []
+
+    def fake_judge(messages):
+        calls.append(messages)
+        assert messages[0]["role"] == "system"
+        assert "Predicted Answer:" in messages[1]["content"]
+        return "{'pred': 'yes', 'score': 4}"
+
+    combined = gpt_judge.run_generation_benchmark(
+        recs, str(tmp_path / "eval_results"),
+        str(tmp_path / "gpt_eval.json"), fake_judge)
+    assert set(combined) == {"clip_0", "clip_1"}
+    summary = gpt_judge.summarize(combined)
+    assert summary == {"n": 2, "accuracy": 1.0, "avg_score": 4.0}
+    assert len(calls) == 2
+
+    # resume: a second run re-judges nothing
+    combined2 = gpt_judge.run_generation_benchmark(
+        recs, str(tmp_path / "eval_results"),
+        str(tmp_path / "gpt_eval.json"), fake_judge)
+    assert len(calls) == 2 and set(combined2) == {"clip_0", "clip_1"}
+
+
+def test_gpt_judge_retry_on_bad_response(tmp_path):
+    from v2pe_tpu.evalkit import gpt_judge
+
+    recs = [{"question": "q", "question_raw": "q", "answer": "a",
+             "id": "x", "video_id": "v", "outputs": "o"}]
+    attempts = []
+
+    def flaky_judge(messages):
+        attempts.append(1)
+        if len(attempts) < 3:
+            return "garbage not a dict"
+        return "{'pred': 'no', 'score': 1}"
+
+    combined = gpt_judge.run_generation_benchmark(
+        recs, str(tmp_path / "er"), str(tmp_path / "out.json"), flaky_judge)
+    assert len(attempts) == 3
+    assert gpt_judge.summarize(combined) == {"n": 1, "accuracy": 0.0,
+                                             "avg_score": 1.0}

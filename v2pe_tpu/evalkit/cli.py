@@ -26,7 +26,10 @@ def build_argparser():
     p.add_argument("--benchmark", required=True,
                    choices=["mm_niah", "milebench", "longvqa", "vqa",
                             "mmmu", "mmbench", "pope", "scienceqa", "seed",
-                            "video", "videomme", "mvbench", "mlvu"])
+                            "video", "videomme", "mvbench", "mlvu",
+                            "nextqa", "lvbench", "longvideobench",
+                            "perceptiontest", "hourvideo", "highres_qa",
+                            "activitynet", "msrvtt", "msvd", "tgif"])
     p.add_argument("--checkpoint", required=True,
                    help="orbax step dir (params/) or HF safetensors dir")
     p.add_argument("--config-preset", default="internvl2_2b")
@@ -36,8 +39,9 @@ def build_argparser():
     p.add_argument("--task", default="test")
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world", type=int, default=1)
-    p.add_argument("--max-num", type=int, default=12,
-                   help="tile budget per image")
+    p.add_argument("--max-num", type=int, default=-1,
+                   help="tile budget per image (-1 = benchmark default: 12, "
+                        "or the per-task table for --benchmark vqa)")
     p.add_argument("--max-new-tokens", type=int, default=64)
     p.add_argument("--rope_pos_id_version", default=None)
     p.add_argument("--rope_pos_id_stride", type=int,
@@ -49,7 +53,13 @@ def build_argparser():
     p.add_argument("--pope-label-dir", default=None,
                    help="dir of coco_pope_<category>.json label files")
     p.add_argument("--data-root", default=None,
-                   help="image/video root (milebench, video suite)")
+                   help="image/video root (milebench, video, vqa, longvqa)")
+    p.add_argument("--annotation", default=None,
+                   help="official annotations json (vqa_score/anls scoring)")
+    p.add_argument("--judge-client", default=None,
+                   help="module:callable judge for open-ended video QA "
+                        "(messages -> response str); scoring is skipped "
+                        "when absent and only outputs are written")
     p.add_argument("--num-frames", type=int, default=16,
                    help="video suite frames per clip")
     p.add_argument("--frame-sample", default="middle",
@@ -97,6 +107,9 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = build_argparser().parse_args(argv)
     os.makedirs(args.outputs_dir, exist_ok=True)
+    vqa_auto_tiles = args.max_num < 0  # per-task table (evaluate_auto.sh)
+    if args.max_num < 0:
+        args.max_num = 12
 
     if args.benchmark == "mm_niah":
         from v2pe_tpu.evalkit import mm_niah, runner
@@ -199,7 +212,9 @@ def main(argv=None):
         if args.rank == 0 and args.world == 1:
             preds = runner.merge_shards([out], merged)
             print(json.dumps(milebench.evaluate_multichoice(preds), indent=2))
-    elif args.benchmark in ("video", "videomme", "mvbench", "mlvu"):
+    elif args.benchmark in ("video", "videomme", "mvbench", "mlvu",
+                            "nextqa", "lvbench", "longvideobench",
+                            "perceptiontest", "hourvideo", "highres_qa"):
         from v2pe_tpu.evalkit import runner, video
 
         merged = os.path.join(args.outputs_dir, f"{args.task}.jsonl")
@@ -232,7 +247,10 @@ def main(argv=None):
                 rope_pos_id_version=args.rope_pos_id_version,
                 rope_pos_id_stride=args.rope_pos_id_stride,
                 generation_config=gc)
-        items = [json.loads(l) for l in open(args.data)]
+        if args.benchmark == "hourvideo" and args.data.endswith(".json"):
+            items = video.hourvideo_flatten(json.load(open(args.data)))
+        else:
+            items = [json.loads(l) for l in open(args.data)]
         out = os.path.join(args.outputs_dir,
                            f"{args.task}.rank{args.rank}.jsonl")
         vid_key = "question_id" if args.benchmark == "videomme" else "id"
@@ -241,12 +259,124 @@ def main(argv=None):
         logging.info("answered %d items -> %s", n, out)
         if args.rank == 0 and args.world == 1:
             results = runner.merge_shards([out], merged, id_key=vid_key)
+            if args.benchmark == "hourvideo":
+                sub = os.path.join(args.outputs_dir,
+                                   f"{args.task}_submission.json")
+                json.dump(video.hourvideo_fold(results), open(sub, "w"))
+                logging.info("submission -> %s", sub)
             print(json.dumps(_vscore(results), indent=2))
+    elif args.benchmark in ("activitynet", "msrvtt", "msvd", "tgif"):
+        from v2pe_tpu.evalkit import gpt_judge, runner, video
+
+        merged = os.path.join(args.outputs_dir, f"{args.task}.jsonl")
+
+        def _judge_and_score(results):
+            if not args.judge_client:
+                logging.info("no --judge-client: wrote outputs only "
+                             "(GPT-judge scoring needs a client)")
+                return {"n": len(results), "judged": False}
+            import importlib
+
+            mod_name, fn_name = args.judge_client.split(":")
+            client = getattr(importlib.import_module(mod_name), fn_name)
+            combined = gpt_judge.run_generation_benchmark(
+                results, os.path.join(args.outputs_dir, "eval_results"),
+                os.path.join(args.outputs_dir, "gpt_eval_results.json"),
+                client)
+            return gpt_judge.summarize(combined)
+
+        if args.score_only:
+            results = [json.loads(l) for l in open(merged)]
+            print(json.dumps(_judge_and_score(results), indent=2))
+            return
+        model = load_chat_model(args)
+        from v2pe_tpu.infer.generate import GenerationConfig
+
+        infer = video.build_open_ended_infer_fn(
+            args.benchmark, model,
+            data_root=args.data_root or os.path.dirname(args.data),
+            num_frames=args.num_frames, sample=args.frame_sample,
+            rope_pos_id_version=args.rope_pos_id_version,
+            rope_pos_id_stride=args.rope_pos_id_stride,
+            generation_config=GenerationConfig(
+                max_new_tokens=args.max_new_tokens))
+        items = [json.loads(l) for l in open(args.data)]
+        out = os.path.join(args.outputs_dir,
+                           f"{args.task}.rank{args.rank}.jsonl")
+        n = runner.run_shard(items, infer, out, rank=args.rank,
+                             world=args.world)
+        logging.info("answered %d items -> %s", n, out)
+        if args.rank == 0 and args.world == 1:
+            results = runner.merge_shards([out], merged)
+            print(json.dumps(_judge_and_score(results), indent=2))
+    elif args.benchmark == "vqa":
+        from v2pe_tpu.evalkit import runner, vqa_driver
+
+        ds_name = args.task  # e.g. chartqa_test_human (evaluate_vqa.py:21)
+        merged = os.path.join(args.outputs_dir, f"{ds_name}.jsonl")
+        if args.score_only:
+            outputs = [json.loads(l) for l in open(merged)]
+            print(json.dumps(vqa_driver.score_outputs(
+                ds_name, outputs, annotation_file=args.annotation), indent=2))
+            return
+        model = load_chat_model(args)
+        from v2pe_tpu.infer.generate import GenerationConfig
+
+        mnt = vqa_driver.DS_COLLECTIONS[ds_name]["max_new_tokens"]
+        infer = vqa_driver.build_infer_fn(
+            ds_name, model,
+            max_tiles=None if vqa_auto_tiles else args.max_num,
+            rope_pos_id_version=args.rope_pos_id_version,
+            rope_pos_id_stride=args.rope_pos_id_stride,
+            generation_config=GenerationConfig(max_new_tokens=mnt),
+            image_root=args.data_root or "")
+        items = [json.loads(l) for l in open(args.data)]
+        for it in items:  # runner resumes by 'id'
+            it.setdefault("id", it["question_id"])
+        out = os.path.join(args.outputs_dir,
+                           f"{ds_name}.rank{args.rank}.jsonl")
+        n = runner.run_shard(items, infer, out, rank=args.rank,
+                             world=args.world)
+        logging.info("answered %d items -> %s", n, out)
+        if args.rank == 0 and args.world == 1:
+            outputs = runner.merge_shards([out], merged)
+            print(json.dumps(vqa_driver.score_outputs(
+                ds_name, outputs, annotation_file=args.annotation), indent=2))
+    elif args.benchmark == "longvqa":
+        from v2pe_tpu.evalkit import longvqa_driver, runner
+
+        task = args.task  # chartqa / docvqa / ... (task2token keys)
+        merged = os.path.join(args.outputs_dir, f"result_{task}.jsonl")
+        if args.score_only:
+            results = [json.loads(l) for l in open(merged)]
+            print(json.dumps(longvqa_driver.score_results(task, results),
+                             indent=2))
+            return
+        model = load_chat_model(args)
+        from v2pe_tpu.infer.generate import GenerationConfig
+
+        mnt = longvqa_driver.TASK2TOKEN.get(task, args.max_new_tokens)
+        infer = longvqa_driver.build_infer_fn(
+            task, model, image_root=args.data_root or "",
+            max_tiles=args.max_num,
+            rope_pos_id_version=args.rope_pos_id_version,
+            rope_pos_id_stride=args.rope_pos_id_stride,
+            generation_config=GenerationConfig(max_new_tokens=mnt))
+        items = [json.loads(l) for l in open(args.data)]
+        out = os.path.join(args.outputs_dir,
+                           f"result_{task}.rank{args.rank}.jsonl")
+        n = runner.run_shard(items, infer, out, rank=args.rank,
+                             world=args.world)
+        logging.info("answered %d items -> %s", n, out)
+        if args.rank == 0 and args.world == 1:
+            results = runner.merge_shards([out], merged)
+            score_path = os.path.join(args.outputs_dir,
+                                      f"score_{task}.json")
+            score = longvqa_driver.score_results(task, results)
+            json.dump(score, open(score_path, "w"), indent=4)
+            print(json.dumps(score, indent=2))
     else:
-        raise SystemExit(
-            f"benchmark {args.benchmark}: use the library adapters "
-            "(v2pe_tpu.evalkit.longvqa / vqa) — CLI wiring lands with "
-            "their dataset formats")
+        raise SystemExit(f"unknown benchmark {args.benchmark}")
 
 
 if __name__ == "__main__":

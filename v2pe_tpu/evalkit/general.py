@@ -33,7 +33,8 @@ ID_KEYS = {"mmmu": "id", "mmbench": "index", "pope": "question_id",
            "scienceqa": "id", "seed": "question_id"}
 
 
-def _load_tiles(chat_model, images, max_tiles: int):
+def _load_tiles(chat_model, images, max_tiles: int,
+                upscale_first: bool = False):
     """images: path / PIL / list of either -> (pixels, num_patches_list)."""
     from v2pe_tpu.data.datasets import load_image
 
@@ -45,10 +46,14 @@ def _load_tiles(chat_model, images, max_tiles: int):
     for i, img in enumerate(images):
         if isinstance(img, str):
             img = load_image(img)
-        # MMMU: first image gets the full tile budget (plus a 2x bilinear
-        # upscale in the reference, evaluate_mmmu.py:95-102); extra option
+        # MMMU: first image gets the full tile budget plus a 2x bilinear
+        # upscale before tiling (evaluate_mmmu.py:95-102); extra option
         # images get 1 tile
         budget = max_tiles if i == 0 else 1
+        if upscale_first and i == 0:
+            from PIL import Image
+
+            img = img.resize((img.width * 2, img.height * 2), Image.BILINEAR)
         pv, n = chat_model.load_pixels(img, max_num=budget)
         pixel_list.append(pv)
         npl.append(n)
@@ -76,7 +81,8 @@ def build_infer_fn(benchmark: str, chat_model, *, max_tiles: int = 6,
                 item["question"], item.get("options", []),
                 item.get("question_type", "multiple-choice"))
             pixels, npl = _load_tiles(
-                chat_model, item.get("images", item.get("image")), max_tiles)
+                chat_model, item.get("images", item.get("image")), max_tiles,
+                upscale_first=True)
             pred = chat(pixels, question, npl)
             return {"id": item["id"], "category": item.get("category", "all"),
                     "question_type": item.get("question_type",

@@ -96,19 +96,26 @@ def score_buckets(results: List[dict], bucket_keys: Sequence[str]
                   ) -> dict:
     """Per-bucket + overall accuracy over records with a bool 'correct'
     (the aggregation loops of eval_videomme.py:132-159 et al.)."""
+    scored = [r for r in results if r.get("correct") is not None]
     out: Dict[str, dict] = {}
     for key in bucket_keys:
         buckets: Dict[str, List[bool]] = {}
-        for r in results:
+        for r in scored:
             if key in r:
-                buckets.setdefault(str(r[key]), []).append(bool(r["correct"]))
+                vals = r[key] if isinstance(r[key], (list, tuple)) \
+                    else [r[key]]  # lvbench question_type is a LIST and
+                # each element counts the sample (eval_lvbench.py:130-137)
+                for v in vals:
+                    buckets.setdefault(str(v), []).append(bool(r["correct"]))
         out[key] = {k: round(sum(v) / len(v), 4)
                     for k, v in sorted(buckets.items())}
-    n = len(results)
+    n = len(scored)
     out["overall"] = {
-        "accuracy": round(sum(bool(r["correct"]) for r in results) / n, 4)
+        "accuracy": round(sum(bool(r["correct"]) for r in scored) / n, 4)
         if n else 0.0,
         "n": n}
+    if len(scored) < len(results):  # gold-less records (hourvideo test set)
+        out["unscored"] = len(results) - len(scored)
     return out
 
 
@@ -120,17 +127,32 @@ def build_mc_video_infer_fn(benchmark: str, chat_model, data_root: str,
     """infer_fn for videomme / mvbench / mlvu jsonl items.
 
     Item schemas:
-      videomme {question_id, videoID|video, question, options[] (lettered
-                lines), answer, task_type, duration, domain?, subtitles?}
-      mvbench  {id, video, question, candidates[], answer (text),
-                task_type}
-      mlvu     {id, video, question, options[] (lettered lines), answer
-                (letter), question_type}
+      videomme  {question_id, videoID|video, question, options[] (lettered
+                 lines), answer, task_type, duration, domain?, subtitles?}
+      mvbench   {id, video, question, candidates[], answer (text),
+                 task_type}
+      mlvu      {id, video, question, options[] (lettered lines), answer
+                 (letter), question_type}
+      nextqa    {id, video, question, candidates[] (5), answer (0-4 index
+                 or letter), type} (utils_nextqa.py:157-185)
+      perceptiontest  same as nextqa (utils_perceptiontest.py:172-190)
+      lvbench   {id, video|file_path, question (options embedded), answer
+                 (letter), uid, question_type (list), time_reference}
+                 (utils_lvbench.py:234-255)
+      longvideobench  {id, video|video_path, question, candidates[],
+                 correct_choice (index) or answer, question_category}
+                 (utils_longvideobench.py:125-141)
+      hourvideo {id, video_uid (+ video path override), question, mcq_test,
+                 answer? / correct_answer_label?, task?} — use
+                 :func:`hourvideo_flatten` on the reference json
+                 (eval_hourvideo.py:84-117)
     """
     from v2pe_tpu.data.datasets import read_video_frames
 
     def infer(item: dict) -> dict:
-        video = item.get("video") or item.get("videoID")
+        video = item.get("video") or item.get("videoID") or \
+            item.get("file_path") or item.get("video_path") or \
+            item.get("path") or (item.get("video_uid", "") + ".mp4")
         frames = read_video_frames(os.path.join(data_root, video),
                                    num_frames, sample)
         pixel_list, npl = [], []
@@ -140,6 +162,11 @@ def build_mc_video_infer_fn(benchmark: str, chat_model, data_root: str,
             npl.append(n)
         pixels = np.concatenate(pixel_list) if pixel_list else None
 
+        extra_keys = ("question_id", "task_type", "duration", "domain",
+                      "question_type", "type", "question_category", "uid",
+                      "time_reference", "file_path", "task", "answer_text",
+                      "category")
+        question_text = item.get("question")
         if benchmark == "videomme":
             prompt = videomme_prompt(item["question"], item.get(
                 "options", []), item.get("subtitles", ""))
@@ -152,6 +179,36 @@ def build_mc_video_infer_fn(benchmark: str, chat_model, data_root: str,
         elif benchmark == "mlvu":
             prompt = mlvu_prompt(item["question"], item.get("options", []))
             gold = item["answer"]
+        elif benchmark in ("nextqa", "perceptiontest"):
+            prompt = nextqa_prompt(item["question"],
+                                   item.get("candidates", []))
+            a = item["answer"]  # int index in the reference parquet/json
+            # (utils_nextqa.py:184 chr(65+answer)); accept a pre-mapped
+            # letter, but "0".."4" strings are indices, not letters
+            gold = a if isinstance(a, str) and len(a) == 1 and a.isalpha() \
+                else chr(65 + int(a))
+        elif benchmark == "lvbench":
+            prompt = lvbench_prompt(item["question"])
+            gold = item["answer"]
+        elif benchmark == "longvideobench":
+            prompt = longvideobench_prompt(item["question"],
+                                           item.get("candidates", []))
+            gold = item["answer"] if "answer" in item \
+                else chr(65 + int(item["correct_choice"]))
+        elif benchmark == "hourvideo":
+            prompt = hourvideo_prompt(item["question"],
+                                      item.get("mcq_test", ""))
+            gold = item.get("answer") or item.get("correct_answer_label")
+        elif benchmark == "highres_qa":
+            # item: {path, qa: {question}, mcq: {options[], correct_option},
+            # category, qa_type} (utils_highres_qa.py:173-198)
+            q = item["qa"]["question"] if "qa" in item else item["question"]
+            question_text = q
+            opts = item["mcq"]["options"] if "mcq" in item \
+                else item.get("options", [])
+            prompt = highres_qa_prompt(q, opts)
+            gold = item["mcq"]["correct_option"][0] if "mcq" in item \
+                else item["answer"]
         else:
             raise ValueError(benchmark)
 
@@ -163,14 +220,79 @@ def build_mc_video_infer_fn(benchmark: str, chat_model, data_root: str,
             rope_pos_id_version=rope_pos_id_version,
             rope_pos_id_stride=rope_pos_id_stride)
         rec = {"id": item.get("id", item.get("question_id", video)),
-               "question": item["question"], "answer": gold,
+               "question": question_text, "answer": gold,
                "outputs": response,
-               "correct": judge_mc_video(response, gold)}
-        for k in ("question_id", "task_type", "duration", "domain",
-                  "question_type"):
+               "correct": judge_mc_video(response, gold) if gold else None}
+        if benchmark == "highres_qa":
+            # di uses question_type := meta["qa_type"]
+            # (eval_highres_qa.py:101-107)
+            rec["question_type"] = item.get("qa_type")
+            rec["answer_text"] = item["mcq"]["correct_option"] \
+                if "mcq" in item else item.get("answer_text")
+        if benchmark == "hourvideo":
+            # submission format: the question dict + the predicted letter
+            # (eval_hourvideo.py:115)
+            rec["video_uid"] = item.get("video_uid", video)
+            rec["mcq_test"] = item.get("mcq_test", "")
+            letter = extract_answer_letter(response)
+            rec["predicted_answer_label"] = letter.upper() if letter else ""
+        for k in extra_keys:
             if k in item:
                 rec[k] = item[k]
         return rec
+
+    return infer
+
+
+OPEN_ENDED_INSTRUCTION = "Answer the question with a short phrase or a " \
+    "sentence."
+
+OPEN_ENDED_BENCHMARKS = ("activitynet", "msrvtt", "msvd", "tgif")
+
+
+def build_open_ended_infer_fn(benchmark: str, chat_model, data_root: str,
+                              num_frames: int = 16, sample: str = "middle",
+                              generation_config=None,
+                              rope_pos_id_version: Optional[str] = None,
+                              rope_pos_id_stride: Optional[int] = None):
+    """Open-ended video QA (activitynet / msrvtt / msvd / tgif): prompt is
+    the shared short-phrase instruction + question
+    (utils_activitynet.py:191-194 et al.); output records carry the
+    GPT-judge contract keys {question, question_raw, answer, id, video_id,
+    outputs} (eval_activitynet.py:103-130) consumed by
+    ``evalkit.gpt_judge``."""
+    from v2pe_tpu.data.datasets import read_video_frames
+
+    def infer(item: dict) -> dict:
+        video = item.get("video")
+        if not video:
+            # ActivityNet videos are stored as v_<video_name>.mp4
+            # (utils_activitynet.py:173-176)
+            name = item["video_name"]
+            prefix = "v_" if benchmark == "activitynet" else ""
+            video = f"{prefix}{name}.mp4"
+        frames = read_video_frames(os.path.join(data_root, video),
+                                   num_frames, sample)
+        pixel_list, npl = [], []
+        for f in frames:
+            pv, n = chat_model.load_pixels(f, max_num=1)
+            pixel_list.append(pv)
+            npl.append(n)
+        pixels = np.concatenate(pixel_list) if pixel_list else None
+
+        prompt = "\n".join([OPEN_ENDED_INSTRUCTION, item["question"]])
+        markers = "".join(f"Frame{i + 1}: <image>\n"
+                          for i in range(len(frames)))
+        response = chat_model.chat(
+            pixels, markers + prompt, generation_config,
+            num_patches_list=npl,
+            rope_pos_id_version=rope_pos_id_version,
+            rope_pos_id_stride=rope_pos_id_stride)
+        return {"question": prompt, "question_raw": item["question"],
+                "answer": item.get("answer"),
+                "id": item.get("id", item.get("question_id")),
+                "video_id": item.get("video_name", video),
+                "outputs": response}
 
     return infer
 
@@ -179,7 +301,80 @@ VIDEO_BUCKET_KEYS = {
     "videomme": ("task_type", "duration"),
     "mvbench": ("task_type",),
     "mlvu": ("question_type",),
+    "nextqa": ("type",),
+    "perceptiontest": ("type",),
+    "lvbench": ("question_type",),       # list-valued: counted per element
+    "longvideobench": ("question_category",),
+    "hourvideo": ("task",),
+    "highres_qa": ("question_type",),
 }
+
+# The A-E benchmarks use a 5-letter instruction variant
+MC_VIDEO_INSTRUCTION_5 = (
+    "Select the best answer to the following multiple-choice question "
+    "based on the video. Respond with only the letter (A, B, C, D, or E) "
+    "of the correct option.")
+
+
+def nextqa_prompt(question: str, candidates: Sequence[str]) -> str:
+    """utils_nextqa.py:178-181 (shared by perceptiontest :178-181): A-E
+    instruction + question + lettered candidate lines."""
+    return "\n".join([MC_VIDEO_INSTRUCTION_5, question] +
+                     [f"{chr(65 + i)}. {c}" for i, c in
+                      enumerate(candidates)])
+
+
+def lvbench_prompt(question: str) -> str:
+    """utils_lvbench.py:246-249: A-D instruction + question only (LVBench
+    questions embed their option lines)."""
+    return "\n".join([MC_VIDEO_INSTRUCTION, question])
+
+
+def longvideobench_prompt(question: str, candidates: Sequence[str]) -> str:
+    """utils_longvideobench.py:131-135."""
+    return "\n".join([MC_VIDEO_INSTRUCTION, question] +
+                     [f"{chr(65 + i)}. {c}" for i, c in
+                      enumerate(candidates)])
+
+
+def highres_qa_prompt(question: str, options: Sequence[str]) -> str:
+    """utils_highres_qa.py:186-189: A-D instruction + question + the mcq
+    option lines verbatim (already lettered in the data)."""
+    return "\n".join([MC_VIDEO_INSTRUCTION, question] + list(options))
+
+
+def hourvideo_prompt(question: str, mcq_test: str) -> str:
+    """eval_hourvideo.py:85-89: A-E instruction + question + the
+    pre-rendered mcq_test option block."""
+    return "\n".join([MC_VIDEO_INSTRUCTION_5, question, mcq_test])
+
+
+def hourvideo_flatten(full_data: dict) -> List[dict]:
+    """The reference's HourVideo json maps video_uid -> benchmark_dataset
+    (a list of question dicts, utils_hourvideo.py:224-238); flatten to one
+    runner item per (video, question) keeping the question dict intact so
+    predictions can be folded back into the submission format."""
+    items = []
+    for video_uid, content in full_data.items():
+        for qi, q in enumerate(content.get("benchmark_dataset", [])):
+            item = dict(q)
+            item["video_uid"] = video_uid
+            item.setdefault("id", q.get("qid", f"{video_uid}:{qi}"))
+            items.append(item)
+    return items
+
+
+def hourvideo_fold(results: List[dict]) -> dict:
+    """Inverse of flatten: video_uid -> {benchmark_dataset: [question dicts
+    incl. predicted_answer_label]} (eval_hourvideo.py:82-119 output)."""
+    out: Dict[str, dict] = {}
+    for r in results:
+        uid = r["video_uid"]
+        q = {k: v for k, v in r.items()
+             if k not in ("video_uid", "id", "correct")}
+        out.setdefault(uid, {"benchmark_dataset": []})
+        out[uid]["benchmark_dataset"].append(q)
+    return out
 
 
 def build_video_prompt(question: str, num_frames: int,

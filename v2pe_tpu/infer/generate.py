@@ -112,16 +112,12 @@ def generate(
         cache = pk.PagedKVCache.zeros(cfg.llm, B, B * MP + 1, page_size, MP,
                                       dtype=dtype)
         cache = pk.allocate_rows(cache, prompt_lengths)
-        hidden, aux = internlm2.llm_forward(
+        # llm_forward writes pages in place (per-layer scatters on the scan
+        # carry for long prompts; the aliased store kernel for tiny ones)
+        hidden, cache = internlm2.llm_forward(
             llm, cfg.llm, inputs_embeds=embeds, rope_pos_ids=rope_pos_ids,
             segment_ids=seg, attn_impl=attn_impl, paged_cache=cache,
             return_hidden=True)
-        if isinstance(aux, pk.PagedKVCache):
-            cache = aux  # tiny (<=16 token) prompt: write-then-attend path
-        else:
-            ks, vs = aux
-            cache = pk.write_all_layers(cache, ks, vs,
-                                        valid_t=prompt_lengths)
         cache = cache._replace(lengths=prompt_lengths)
     else:
         cache = KVCache.zeros(cfg.llm, B, max_len, dtype=dtype)

@@ -44,13 +44,10 @@ def _prefill(params, cfg: VLMConfig, gc: GenerationConfig, input_ids,
                                       dtype=llm["tok_embeddings"].dtype)
         lens = jnp.full((B,), S, jnp.int32)
         cache = pk.allocate_rows(cache, lens)
-        hidden, aux = internlm2.llm_forward(
+        # llm_forward writes pages in place and returns the updated cache
+        hidden, cache = internlm2.llm_forward(
             llm, cfg.llm, inputs_embeds=embeds, rope_pos_ids=rope_pos_ids,
             attn_impl=attn_impl, paged_cache=cache, return_hidden=True)
-        if isinstance(aux, pk.PagedKVCache):
-            cache = aux  # tiny prompt: store-then-attend path
-        else:
-            cache = pk.write_all_layers(cache, *aux)
         cache = cache._replace(lengths=lens)
     else:
         cache = KVCache.zeros(cfg.llm, B, max_total,

@@ -176,6 +176,7 @@ def compress_llm_forward(
     rope_pos_ids: jnp.ndarray,    # (B, S) float32
     n_chunks: int,
     *,
+    segment_ids: Optional[jnp.ndarray] = None,  # (B, S) packing segments
     final_size: int = FINAL_SIZE,
     attn_impl: str = "auto",
     fuse_method: str = "add",     # 'add' | 'cross-attn'
@@ -188,7 +189,14 @@ def compress_llm_forward(
     fuse 'add': chunk i adds LayerScale(sum of interaction-refined summaries
     of chunks j < i) (:1275-1276). fuse 'cross-attn': chunk i cross-attends
     onto chunk i-1's summaries through the cloned-from-self-attention fuse
-    weights, LayerScale-gated (:1277-1282; chunk 0 contributes 0)."""
+    weights, LayerScale-gated (:1277-1282; chunk 0 contributes 0).
+
+    ``segment_ids``: packing sample boundaries. The reference's chunkTrainer
+    runs varlen (cu_seqlens) attention inside every chunk, so packed samples
+    never attend across each other; here the within-chunk segments combine
+    (packing segment, chunk index) so both boundaries mask. Summary
+    compression/fusion intentionally crosses sample boundaries, exactly as
+    the reference's chunk-level avg pooling does."""
     B, S, D = inputs_embeds.shape
     assert S % n_chunks == 0
     c = S // n_chunks
@@ -198,9 +206,16 @@ def compress_llm_forward(
     x = inputs_embeds
     cos, sin = compute_rope_cos_sin(rope_pos_ids.astype(jnp.float32),
                                     cfg.head_dim, cfg.rope_theta)
-    # within-chunk attention = segment ids by chunk
-    seg = jnp.broadcast_to(
-        (jnp.arange(S) // c + 1).astype(jnp.int32)[None], (B, S))
+    # within-chunk attention: segment by chunk AND by packing sample —
+    # tokens attend iff same chunk and same packed sample (0 = padding)
+    chunk_idx = jnp.broadcast_to(
+        (jnp.arange(S) // c).astype(jnp.int32)[None], (B, S))
+    if segment_ids is not None:
+        seg = jnp.where(segment_ids == 0, 0,
+                        segment_ids.astype(jnp.int32) * n_chunks
+                        + chunk_idx + 1)
+    else:
+        seg = chunk_idx + 1
     sum_pos = jnp.broadcast_to(
         jnp.arange(n_chunks * final_size, dtype=jnp.float32)[None],
         (B, n_chunks * final_size))

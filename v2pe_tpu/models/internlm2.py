@@ -289,12 +289,12 @@ def llm_forward(
     """Returns fp32 logits (B, S, V) (or hidden states), and the updated
     KVCache when one was passed.
 
-    With ``paged_cache`` the pool is never copied or written here: attention
-    reads pages through the Pallas paged-decode kernel (decode) or runs over
-    the fresh tokens only (prefill into an empty cache), and the second
-    return value is the stacked per-layer fresh (k, v) —
-    (L, B, S, Hkv, hd) each — for the caller to scatter into the pool via
-    ``paged_kv.write_all_layers``."""
+    With ``paged_cache`` the pool is never copied: attention reads pages
+    through the Pallas paged-decode kernel (decode) or runs over the fresh
+    tokens only (prefill into an empty cache); writes happen in place —
+    via the aliased store kernel (decode) or per-layer scatters on the scan
+    carry (prefill) — and the second return value is the updated
+    PagedKVCache (lengths NOT advanced; callers advance after sampling)."""
     if inputs_embeds is None:
         inputs_embeds = params["tok_embeddings"][input_ids]
     x = inputs_embeds
@@ -343,9 +343,12 @@ def llm_forward(
             (x, paged_cache.k_pages, paged_cache.v_pages, jnp.int32(0)),
             params["layers"])
         new_cache = paged_cache._replace(k_pages=kp, v_pages=vp)
-    elif paged_cache is not None:
-        # prefill: pool stays outside the scan (read-only); fresh per-layer
-        # (k, v) come back through ys for one batched scatter by the caller
+    elif paged_cache is not None and S <= 16:
+        # small multi-token step (possibly onto a NONEMPTY cache): the
+        # paged kernel reads the pool per layer, so the pool must stay
+        # outside the scan (a carried copy would break XLA aliasing against
+        # the kernel's read operand); the fresh (k, v) stack through ys —
+        # tiny at <=16 tokens — and scatter once after the scan
         def scan_body(carry, lp):
             x, li = carry
             x, (k_new, v_new) = layer_forward(
@@ -356,7 +359,57 @@ def llm_forward(
 
         (x, _), (ks, vs) = jax.lax.scan(
             scan_body, (x, jnp.int32(0)), params["layers"])
-        new_cache = (ks, vs)  # (L, B, S, Hkv, hd) each
+        from v2pe_tpu.infer import paged_kv as _pk
+
+        valid_t = None if segment_ids is None else \
+            jnp.sum((segment_ids != 0).astype(jnp.int32), axis=1)
+        new_cache = _pk.write_all_layers(paged_cache, ks, vs, valid_t=valid_t)
+    elif paged_cache is not None:
+        # long-prompt prefill into empty pages: the pools ride the scan
+        # carry and each layer's fresh (k, v) scatters into its pages
+        # immediately — stacking all layers through ys first (then one
+        # batched scatter) would materialize an extra full-KV-size temp,
+        # ~12 GB at 256k context for the 2B model, at exactly the moment
+        # HBM is scarcest. No Pallas call reads the pool on this path (the
+        # prompt attends only to itself), so XLA aliases the carried
+        # buffers and the scatters run in place.
+        ps = paged_cache.page_size
+        NP = paged_cache.k_pages.shape[2]
+        Hkv, hd = cfg.num_key_value_heads, cfg.head_dim
+        pos_w = paged_cache.lengths[:, None] + \
+            jnp.arange(S, dtype=jnp.int32)[None, :]
+        page_slot = jnp.minimum(pos_w // ps,
+                                paged_cache.page_table.shape[1] - 1)
+        phys = jnp.take_along_axis(paged_cache.page_table, page_slot, axis=1)
+        valid_w = phys >= 0
+        if segment_ids is not None:
+            valid_w &= segment_ids != 0  # right-padded prompt slots
+        flat_idx = jnp.where(valid_w, phys * ps + pos_w % ps,
+                             NP * ps).reshape(-1)  # OOB -> dropped
+
+        def scan_body(carry, lp):
+            x, kp, vp, li = carry
+            x, (k_new, v_new) = layer_forward(
+                lp, cfg, x, cos, sin, segment_ids=segment_ids,
+                positions=positions, attn_impl=attn_impl,
+                paged=(paged_cache, li))
+            kv = jnp.moveaxis(k_new, 2, 0).reshape(Hkv, B * S, hd)
+            vv = jnp.moveaxis(v_new, 2, 0).reshape(Hkv, B * S, hd)
+            kp = kp.at[li, :, flat_idx].set(kv.astype(kp.dtype).swapaxes(0, 1),
+                                            mode="drop")
+            vp = vp.at[li, :, flat_idx].set(vv.astype(vp.dtype).swapaxes(0, 1),
+                                            mode="drop")
+            return (x, kp, vp, li + 1), None
+
+        flat_k = paged_cache.k_pages.reshape(
+            cfg.num_hidden_layers, Hkv, NP * ps, hd)
+        flat_v = paged_cache.v_pages.reshape(
+            cfg.num_hidden_layers, Hkv, NP * ps, hd)
+        (x, kp, vp, _), _ = jax.lax.scan(
+            scan_body, (x, flat_k, flat_v, jnp.int32(0)), params["layers"])
+        new_cache = paged_cache._replace(
+            k_pages=kp.reshape(paged_cache.k_pages.shape),
+            v_pages=vp.reshape(paged_cache.v_pages.shape))
     elif kv_cache is None:
         def run_layer(lp, x):
             out, _ = layer_forward(lp, cfg, x, cos, sin,

@@ -173,15 +173,16 @@ def forward(
         # 92553 that is ~12 GB; compute the CE from hidden states in
         # sequence chunks with rematerialized per-chunk projections
         if cfg.compress_seq and "compress" in params:
-            # compress-seq trainer mode: hierarchical chunked forward
-            # (chunk segmentation REPLACES packing segmentation, like the
-            # reference's chunkTrainer 1-sample-per-row layout,
-            # compress_seq_trainer.py:228-775)
+            # compress-seq trainer mode: hierarchical chunked forward;
+            # batch packing segment_ids combine with the chunk segmentation
+            # inside (the reference's chunkTrainer keeps cu_seqlens varlen
+            # attention within chunks, compress_seq_trainer.py:228-775)
             from v2pe_tpu.models.compress_seq import compress_llm_forward
 
             hidden = compress_llm_forward(
                 params["llm"], params["compress"], cfg.llm,
                 input_embeds, rope_pos_ids, cfg.chunk_num,
+                segment_ids=segment_ids,
                 attn_impl=attn_impl, fuse_method=cfg.fuse_method,
                 return_hidden=True)
         else:

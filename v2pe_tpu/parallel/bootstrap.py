@@ -193,7 +193,7 @@ def batch_spec(key: str) -> P:
         return P(("data", "fsdp"), "seq")
     if key in _TILE_KEYS:
         return P(("data", "fsdp"))
-    return P()  # scalars (e.g. loss_weight_sum) — replicated
+    return P()  # replicated (single-process convenience only; see below)
 
 
 def make_global_batch(batch: dict, mesh: Mesh,
@@ -215,6 +215,15 @@ def make_global_batch(batch: dict, mesh: Mesh,
     """
     nproc = jax.process_count()
     pid = jax.process_index()
+    if nproc > 1:
+        unknown = [k for k in batch
+                   if k not in _SEQ_KEYS and k not in _TILE_KEYS]
+        if unknown:
+            # a replicated (P()) key assembled from per-process data silently
+            # picks inconsistent replicas if hosts ever disagree — refuse
+            # rather than guess (extend _SEQ_KEYS/_TILE_KEYS deliberately)
+            raise ValueError(
+                f"batch keys {unknown} have no multi-host sharding contract")
     out = {}
     local_tiles = np.asarray(batch["pixel_values"]).shape[0] \
         if "pixel_values" in batch else 0

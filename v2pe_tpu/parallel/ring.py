@@ -119,14 +119,15 @@ def _branch_index(statics, seg_q, seg_k, pos_q, pos_k):
     zigzag_permutation). Branches:
 
       0: nothing live (fully-masked rotation)           -> skip
-      1: both half-diagonals live                       -> q_full x k_full
-      2: only (q_lo, k_lo) live (kv causally earlier)   -> q_full x k_lo
-      3: only (q_hi, k_hi) live (kv causally later)     -> q_hi  x k_full
+      1: general case                                   -> q_full x k_full
+      2: live pairs within {(lo,lo),(hi,lo)}            -> q_full x k_lo
+      3: live pairs within {(hi,hi),(hi,lo)}            -> q_hi  x k_full
       4: only the (q_hi, k_lo) cross rectangle live     -> q_hi  x k_lo
 
-    Correctness: with ordered halves, ~work(lo,lo) implies ~work(lo,hi)
-    and ~work(hi,hi) implies ~work(lo,hi), so every branch's rectangle is a
-    superset of the live pairs (masking inside the kernel does the rest).
+    Correctness holds for ANY layout (zigzag or contiguous): a reduced
+    rectangle is chosen only when every live quadrant — all four are
+    probed, (q_lo, k_hi) included — is inside it; anything else falls back
+    to the full rectangle (masking inside the kernel does the rest).
     Under zigzag this halves ring-attention FLOPs with work balanced across
     ranks — the TPU rendering of the reference's zigzag_ring_flash_attn
     load balancing (patch/internlm2_packed_training_patch.py:76-128)."""
@@ -137,11 +138,14 @@ def _branch_index(statics, seg_q, seg_k, pos_q, pos_k):
     w_ll = _chunk_has_work(statics, sq_lo, sk_lo, pq_lo, pk_lo)
     w_hh = _chunk_has_work(statics, sq_hi, sk_hi, pq_hi, pk_hi)
     w_hl = _chunk_has_work(statics, sq_hi, sk_lo, pq_hi, pk_lo)
-    any_w = w_ll | w_hh | w_hl | _chunk_has_work(
-        statics, sq_lo, sk_hi, pq_lo, pk_hi)
+    w_lh = _chunk_has_work(statics, sq_lo, sk_hi, pq_lo, pk_hi)
+    any_w = w_ll | w_hh | w_hl | w_lh
+    fits2 = ~(w_lh | w_hh)          # q_full x k_lo covers {ll, hl}
+    fits3 = ~(w_ll | w_lh)          # q_hi x k_full covers {hl, hh}
+    fits4 = w_hl & ~(w_ll | w_lh | w_hh)
     return jnp.where(
-        w_ll & w_hh, 1,
-        jnp.where(w_ll, 2, jnp.where(w_hh, 3, jnp.where(any_w, 4, 0))))
+        ~any_w, 0,
+        jnp.where(fits4, 4, jnp.where(fits2, 2, jnp.where(fits3, 3, 1))))
 
 
 def _ring_fwd_impl(axis_name, statics, q, k, v, seg_q, seg_k, pos_q, pos_k):

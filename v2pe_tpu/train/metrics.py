@@ -57,10 +57,25 @@ def build_metrics_hook(
 ) -> Callable[[int, dict], None]:
     """Compose sinks. report_to: subset of {'jsonl', 'tensorboard'} —
     unknown names raise; a missing tensorboard backend degrades to jsonl
-    with a warning rather than failing the run."""
+    with a warning rather than failing the run.
+
+    Multi-host: only process 0 writes (the HF rank-0 ``report_to``
+    behavior) — on a shared filesystem every process appending to the same
+    metrics.jsonl/TensorBoard dir would interleave duplicate records. An
+    ``extra_hook`` still runs on every process (callers gate it themselves
+    if needed)."""
     import logging
 
+    try:
+        import jax
+
+        is_proc0 = jax.process_index() == 0
+    except Exception:
+        is_proc0 = True
+
     sinks = []
+    if not is_proc0:
+        report_to = ()
     for name in report_to:
         if name == "jsonl":
             sinks.append(JsonlMetricsSink(

@@ -45,7 +45,9 @@ def loss_fn(params, cfg: VLMConfig, batch, img_context_token_id: int,
         vit_gather_idx=batch.get("vit_gather_idx"),
         targets=batch["targets"],
         loss_weight=batch["loss_weight"],
-        loss_weight_sum=batch.get("loss_weight_sum"),
+        # no loss_weight_sum key: under GSPMD the CE denominator is already
+        # the GLOBAL weight sum (the batch is one global array), so the
+        # reference's loss_reduction_all_gather all-reduce is automatic
         attn_impl=attn_impl,
         remat=remat,
         drop_path_rng=drop_path_rng,
