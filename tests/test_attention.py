@@ -233,3 +233,31 @@ class TestFusedRope:
                                    attn_impl="jnp")
         np.testing.assert_allclose(np.asarray(full), np.asarray(via_cache),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_long_context_chunked_paths_match(monkeypatch):
+    """The chunked SwiGLU + chunked qkv projection engage above the
+    long-context threshold; shrink the constants so a small model exercises
+    them and compare against the unchunked forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from v2pe_tpu.core.config import debug_tiny
+    from v2pe_tpu.models import internlm2
+    from v2pe_tpu.models.params import init_llm_params
+
+    cfg = debug_tiny(vocab_size=128).llm
+    params = init_llm_params(jax.random.PRNGKey(0), cfg)
+    S = 64
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, S), 0, 128)
+    pos = jnp.arange(S, dtype=jnp.float32)[None]
+
+    ref, _ = internlm2.llm_forward(params, cfg, input_ids=ids,
+                                   rope_pos_ids=pos, attn_impl="jnp")
+    monkeypatch.setattr(internlm2, "MLP_CHUNK_THRESHOLD", 32)
+    monkeypatch.setattr(internlm2, "MLP_CHUNK", 16)
+    got, _ = internlm2.llm_forward(params, cfg, input_ids=ids,
+                                   rope_pos_ids=pos, attn_impl="jnp")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -18,8 +18,8 @@ def test_alloc_and_write_roundtrip():
     # row 0 gets 13 tokens, row 1 gets 5
     lengths = jnp.asarray([13, 5], jnp.int32)
     cache = allocate_rows(cache, lengths)
-    # pages: row0 needs 2, row1 needs 1 -> next_page = 1 + 3
-    assert int(cache.next_page) == 4
+    # pages: row0 needs 2, row1 needs 1 -> shard-0 head = 1 + 3
+    assert int(cache.next_page[0]) == 4
     assert int(cache.page_table[0, 0]) >= 1
     assert int(cache.page_table[0, 1]) >= 1
     assert int(cache.page_table[1, 1]) == -1

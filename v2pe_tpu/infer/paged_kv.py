@@ -38,7 +38,21 @@ class PagedKVCache(NamedTuple):
     k_pages/v_pages: (L, Hkv, n_pages, page_size, hd)
     page_table: (B, max_pages_per_row) int32 — physical page id or -1
     lengths:   (B,) int32 — tokens written per row
-    next_page: () int32 — bump allocator head (page 0 is a zero/null page)
+    next_page: (n_shards,) int32 — per-shard bump allocator heads; shard d
+               owns the physical range [d*NP/n + 1, (d+1)*NP/n): EVERY
+               shard's local page 0 is a reserved zero/null page, never
+               allocated. The store kernel redirects rows whose fresh page
+               another shard owns to local page 0 as a no-op target — if
+               that page were allocatable, the no-op's stale write-back
+               could erase an owned row's fresh store in the same grid.
+
+    Sequence sharding (``n_shards > 1``): the page (n_pages) axis is the
+    one sharded over the mesh's ``seq`` axis, so each device physically
+    holds n_pages/n_shards pages — the design that makes 1M-token KV fit a
+    v5e slice (SURVEY §7: 1M tokens x 96 KB/token = 24 GB for the 2B model,
+    3 GB/chip on 8 chips). :func:`allocate_rows` places each row's i-th
+    page on shard i % n_shards, so every row's context spreads evenly and
+    each shard's per-row page count is bounded by ceil(MP / n_shards).
     """
 
     k_pages: jnp.ndarray
@@ -55,37 +69,65 @@ class PagedKVCache(NamedTuple):
     def max_pages_per_row(self) -> int:
         return self.page_table.shape[1]
 
+    @property
+    def n_shards(self) -> int:
+        return self.next_page.shape[0]
+
     @staticmethod
     def zeros(cfg: LLMConfig, batch: int, n_pages: int, page_size: int,
-              max_pages_per_row: int, dtype=jnp.bfloat16) -> "PagedKVCache":
+              max_pages_per_row: int, dtype=jnp.bfloat16,
+              n_shards: int = 1) -> "PagedKVCache":
+        assert n_pages % n_shards == 0, (n_pages, n_shards)
         shape = (cfg.num_hidden_layers, cfg.num_key_value_heads, n_pages,
                  page_size, cfg.head_dim)
+        # every shard's head starts at local page 1: local page 0 is that
+        # shard's null page (see class docstring)
+        heads = (jnp.arange(n_shards, dtype=jnp.int32)
+                 * (n_pages // n_shards)) + 1
         return PagedKVCache(
             k_pages=jnp.zeros(shape, dtype),
             v_pages=jnp.zeros(shape, dtype),
             page_table=jnp.full((batch, max_pages_per_row), -1, jnp.int32),
             lengths=jnp.zeros((batch,), jnp.int32),
-            next_page=jnp.ones((), jnp.int32),  # page 0 = null page
+            next_page=heads.astype(jnp.int32),
         )
 
 
 def allocate_rows(cache: PagedKVCache, new_lengths: jnp.ndarray
                   ) -> PagedKVCache:
     """Extend each row's page table to cover ``lengths + new_lengths`` tokens
-    with freshly bumped pages (static shapes: the table has a fixed max)."""
+    with freshly bumped pages (static shapes: the table has a fixed max).
+
+    With ``n_shards > 1`` the row's page at row-slot s is placed on shard
+    s % n_shards and drawn from that shard's bump head — per-row
+    round-robin keeps every row's pages balanced across shards regardless
+    of allocation interleaving between rows."""
     ps = cache.page_size
     B, MP = cache.page_table.shape
+    n = cache.n_shards
     need = -(-(cache.lengths + new_lengths) // ps)  # pages needed per row
     have = -(-cache.lengths // ps)
-    extra = jnp.maximum(need - have, 0)  # (B,)
-    # prefix offsets for the bump allocator
-    starts = cache.next_page + jnp.cumsum(extra) - extra
     slot = jnp.arange(MP, dtype=jnp.int32)[None, :]
-    new_ids = starts[:, None] + (slot - have[:, None])
-    take = (slot >= have[:, None]) & (slot < need[:, None])
+    take = (slot >= have[:, None]) & (slot < need[:, None])  # (B, MP)
+    shard = slot % n                                         # (1, MP)->(B,MP)
+    shard = jnp.broadcast_to(shard, take.shape)
+    # rank of each new page within its shard's allocation batch, in
+    # flat (row-major) order — matches a sequential bump per shard
+    flat_take = take.reshape(-1)
+    flat_shard = shard.reshape(-1)
+    one = flat_take.astype(jnp.int32)
+    rank_in_shard = jnp.zeros_like(one)
+    counts = []
+    for d in range(n):  # n is a small static (mesh axis size)
+        sel = one * (flat_shard == d)
+        rank_in_shard = rank_in_shard + jnp.where(
+            flat_shard == d, jnp.cumsum(sel) - sel, 0)
+        counts.append(jnp.sum(sel))
+    new_ids = (cache.next_page[flat_shard] + rank_in_shard).reshape(B, MP)
     table = jnp.where(take, new_ids.astype(jnp.int32), cache.page_table)
-    return cache._replace(page_table=table,
-                          next_page=cache.next_page + jnp.sum(extra))
+    return cache._replace(
+        page_table=table,
+        next_page=cache.next_page + jnp.stack(counts).astype(jnp.int32))
 
 
 def write_all_layers(cache: PagedKVCache, k_new: jnp.ndarray,

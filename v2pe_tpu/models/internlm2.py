@@ -88,10 +88,6 @@ def attention_forward(
     update path rewrote ~1.6 GB per decoded token at 8k. kv_valid
     (B, max_len) masks cache slots (ragged right-padded prompts)."""
     B, S, D = x.shape
-    qkv = _dot(x, p["wqkv_kernel"])
-    if cfg.bias:
-        qkv = qkv + p["wqkv_bias"]
-    q, k, v = split_wqkv(qkv, cfg)
     # no-cache path: Q's rotary is FUSED into the flash kernel (rotated
     # once per block into VMEM scratch from the rope_pack float32 ids) —
     # skipping Q's jnp-level apply_rotary saves its HBM round trips. K
@@ -101,9 +97,21 @@ def attention_forward(
     # rotary for both (1-token, trivial).
     fused_rope = (rope_pack is not None and kv_cache_layer is None
                   and paged is None)
-    if not fused_rope:
-        q = apply_rotary(q, cos, sin)
-    k = apply_rotary(k, cos, sin)
+    if S >= MLP_CHUNK_THRESHOLD and S % MLP_CHUNK == 0 \
+            and kv_cache_layer is None and paged is None:
+        # long-context prefill: project + rotate in S-chunks scattered into
+        # preallocated q/k/v — the fused (S, (G+2)*Hkv*hd) qkv temp alone
+        # is ~2.1 GB at 256k for the 2B model; chunking the projections is
+        # part of what fits a 256k single-chip prefill in HBM
+        q, k, v = _qkv_chunked(p, cfg, x, cos, sin, fused_rope)
+    else:
+        qkv = _dot(x, p["wqkv_kernel"])
+        if cfg.bias:
+            qkv = qkv + p["wqkv_bias"]
+        q, k, v = split_wqkv(qkv, cfg)
+        if not fused_rope:
+            q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
 
     new_cache = None
     if paged is not None and S == 1:
@@ -112,14 +120,26 @@ def attention_forward(
         # the attention kernel reads the pages (fresh slot included); no
         # jax-level pool write ever happens
         from v2pe_tpu.ops.paged_attention import (
-            paged_decode_attention, sharded_paged_decode_attention,
+            paged_decode_attention, seq_sharded_paged_decode_attention,
+            seq_sharded_store_fresh_token, sharded_paged_decode_attention,
             sharded_store_fresh_token, store_fresh_token)
         from v2pe_tpu.parallel import context as pctx
 
         cache, li, k_pages, v_pages = paged
         ctx = pctx.current()
         interp = jax.default_backend() != "tpu"
-        if ctx is not None:
+        if ctx is not None and ctx.seq_shards > 1:
+            # page pool sharded over 'seq' (each device owns a page range —
+            # the 1M-context layout) composed with kv-head TP
+            k_pages, v_pages = seq_sharded_store_fresh_token(
+                ctx.mesh, ctx.seq_axis, ctx.tensor_axis, k, v, k_pages,
+                v_pages, cache.page_table, cache.lengths, li,
+                interpret=interp)
+            out = seq_sharded_paged_decode_attention(
+                ctx.mesh, ctx.seq_axis, ctx.tensor_axis, q, None, None,
+                k_pages, v_pages, cache.page_table, cache.lengths, li,
+                interpret=interp, fresh_in_pages=True)
+        elif ctx is not None:
             k_pages, v_pages = sharded_store_fresh_token(
                 ctx.mesh, ctx.tensor_axis, k, v, k_pages, v_pages,
                 cache.page_table, cache.lengths, li, interpret=interp)
@@ -139,14 +159,20 @@ def attention_forward(
         # small multi-token step: attention via the kernel's separate-fresh
         # fold; fresh (k, v) go back through ys for the caller's scatter
         from v2pe_tpu.ops.paged_attention import (
-            paged_decode_attention, sharded_paged_decode_attention)
+            paged_decode_attention, seq_sharded_paged_decode_attention,
+            sharded_paged_decode_attention)
         from v2pe_tpu.parallel import context as pctx
 
         cache, li = paged[:2]
         new_cache = (k, v)
         ctx = pctx.current()
         interp = jax.default_backend() != "tpu"
-        if ctx is not None:
+        if ctx is not None and ctx.seq_shards > 1:
+            out = seq_sharded_paged_decode_attention(
+                ctx.mesh, ctx.seq_axis, ctx.tensor_axis, q, k, v,
+                cache.k_pages, cache.v_pages, cache.page_table,
+                cache.lengths, li, interpret=interp)
+        elif ctx is not None:
             out = sharded_paged_decode_attention(
                 ctx.mesh, ctx.tensor_axis, q, k, v, cache.k_pages,
                 cache.v_pages, cache.page_table, cache.lengths, li,
@@ -247,10 +273,68 @@ def _two_part_decode_attention(q, k_new, v_new, k_buf, v_buf, cache_length,
     return out.reshape(B, S, Hq, hd).astype(q.dtype)
 
 
+MLP_CHUNK_THRESHOLD = 65536  # sequence length where SwiGLU goes chunked
+MLP_CHUNK = 16384
+
+
+def _qkv_chunked(p, cfg: LLMConfig, x, cos, sin, fused_rope: bool):
+    """Fused-qkv projection + rotary in S-chunks: each chunk's q/k/v are
+    scattered (dynamic_update_slice on the scan carry — in place) into
+    preallocated (B, S, H*, hd) buffers, so the (S, (G+2)*Hkv*hd) fused
+    projection temp never materializes at full length."""
+    B, S, D = x.shape
+    c = MLP_CHUNK
+    n = S // c
+    Hq, Hkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                   cfg.head_dim)
+    q0 = jnp.zeros((B, S, Hq, hd), x.dtype)
+    k0 = jnp.zeros((B, S, Hkv, hd), x.dtype)
+    v0 = jnp.zeros((B, S, Hkv, hd), x.dtype)
+
+    def body(carry, i):
+        q_all, k_all, v_all = carry
+        off = i * c
+        xi = jax.lax.dynamic_slice(x, (0, off, 0), (B, c, D))
+        ci = jax.lax.dynamic_slice(cos, (0, off, 0), (B, c, cos.shape[-1]))
+        si = jax.lax.dynamic_slice(sin, (0, off, 0), (B, c, sin.shape[-1]))
+        qkv = _dot(xi, p["wqkv_kernel"])
+        if cfg.bias:
+            qkv = qkv + p["wqkv_bias"]
+        qi, ki, vi = split_wqkv(qkv, cfg)
+        if not fused_rope:
+            qi = apply_rotary(qi, ci, si)
+        ki = apply_rotary(ki, ci, si)
+        q_all = jax.lax.dynamic_update_slice(q_all, qi, (0, off, 0, 0))
+        k_all = jax.lax.dynamic_update_slice(k_all, ki, (0, off, 0, 0))
+        v_all = jax.lax.dynamic_update_slice(v_all, vi, (0, off, 0, 0))
+        return (q_all, k_all, v_all), None
+
+    (q, k, v), _ = jax.lax.scan(body, (q0, k0, v0),
+                                jnp.arange(n, dtype=jnp.int32))
+    return q, k, v
+
+
 def mlp_forward(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    """SwiGLU: w2(silu(w1 x) * w3 x) — modeling_internlm2.py:444-458."""
-    return _dot(jax.nn.silu(_dot(x, p["w1_kernel"])) * _dot(x, p["w3_kernel"]),
-                p["w2_kernel"])
+    """SwiGLU: w2(silu(w1 x) * w3 x) — modeling_internlm2.py:444-458.
+
+    Long sequences compute in S-chunks via lax.scan: at 256k the two
+    (S, intermediate) bf16 gate buffers are ~8.6 GB live at once for the 2B
+    model — the difference between fitting a 256k prefill on one v5e chip
+    and crashing the worker. Chunking costs nothing (same FLOPs, 16k-row
+    matmuls keep the MXU saturated)."""
+    B, S, D = x.shape
+    if S < MLP_CHUNK_THRESHOLD or S % MLP_CHUNK != 0:
+        return _dot(jax.nn.silu(_dot(x, p["w1_kernel"]))
+                    * _dot(x, p["w3_kernel"]), p["w2_kernel"])
+    n = S // MLP_CHUNK
+    xc = jnp.moveaxis(x.reshape(B, n, MLP_CHUNK, D), 1, 0)
+
+    def body(_, xi):
+        return None, _dot(jax.nn.silu(_dot(xi, p["w1_kernel"]))
+                          * _dot(xi, p["w3_kernel"]), p["w2_kernel"])
+
+    _, out = jax.lax.scan(body, None, xc)
+    return jnp.moveaxis(out, 0, 1).reshape(B, S, D)
 
 
 def layer_forward(p, cfg: LLMConfig, x, cos, sin, *, segment_ids, positions,

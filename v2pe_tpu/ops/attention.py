@@ -45,6 +45,12 @@ class AttnStatics(NamedTuple):
     rope_theta: float = 0.0  # >0: rotary fused INTO the kernel from the
     # rope_q/rope_k fp32 id vectors (saves the q/k HBM round trips of a
     # jnp-level apply_rotary — measured ~8% of LLM prefill)
+    dense: bool = False  # no segment masking (both segment inputs were
+    # None): with causal=False and unpadded blocks the jnp fallback skips
+    # mask construction AND the per-block jnp.any liveness cond — that
+    # cond's mask is a pure function of iota constants, and XLA constant-
+    # folds the resulting full-S^2 reduce-window at 2-3 s per call site
+    # (the ViT's 1025-token tiles burned ~10 s of every CPU-mesh compile)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -81,6 +87,9 @@ def _fwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, statics: AttnStatics):
     bq, bk = min(statics.block_q, Sq), min(statics.block_k, Sk)
     nq, nk = _cdiv(Sq, bq), _cdiv(Sk, bk)
     Sq_p, Sk_p = nq * bq, nk * bk
+    # fully dense + unpadded + bidirectional: no mask exists at all
+    maskless = statics.dense and not statics.causal \
+        and Sq_p == Sq and Sk_p == Sk
 
     q = _pad_axis(q, 0, Sq_p)
     seg_q = _pad_axis(seg_q, 0, Sq_p)
@@ -104,7 +113,8 @@ def _fwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, statics: AttnStatics):
         def kv_step(carry, inp):
             acc, m, l = carry
             kb, vb, skb, pkb = inp
-            mask = _block_mask(sqb, skb, pqb, pkb, statics.causal)
+            mask = None if maskless else \
+                _block_mask(sqb, skb, pqb, pkb, statics.causal)
 
             def compute(carry):
                 acc, m, l = carry
@@ -113,9 +123,12 @@ def _fwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, statics: AttnStatics):
                     kf = jnp.repeat(kf, G, axis=1)
                 s = jnp.einsum("qhd,khd->hqk", qf, kf,
                                preferred_element_type=jnp.float32)
-                s = jnp.where(mask[None, :, :], s, NEG_INF)
+                if mask is not None:
+                    s = jnp.where(mask[None, :, :], s, NEG_INF)
                 m_new = jnp.maximum(m, jnp.max(s, axis=-1))  # (Hq,bq)
-                e = jnp.where(mask[None], jnp.exp(s - m_new[..., None]), 0.0)
+                e = jnp.exp(s - m_new[..., None])
+                if mask is not None:
+                    e = jnp.where(mask[None], e, 0.0)
                 corr = jnp.exp(m - m_new)  # (Hq,bq)
                 l_new = l * corr + jnp.sum(e, axis=-1)
                 vf = vb.astype(jnp.float32)
@@ -126,6 +139,8 @@ def _fwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, statics: AttnStatics):
                 acc = acc * corr[..., None] + pv
                 return acc, m_new, l_new
 
+            if mask is None:
+                return compute((acc, m, l)), None
             return jax.lax.cond(jnp.any(mask), compute, lambda c: c,
                                 (acc, m, l)), None
 
@@ -159,6 +174,8 @@ def _bwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do,
     bq, bk = min(statics.block_q, Sq), min(statics.block_k, Sk)
     nq, nk = _cdiv(Sq, bq), _cdiv(Sk, bk)
     Sq_p, Sk_p = nq * bq, nk * bk
+    maskless = statics.dense and not statics.causal \
+        and Sq_p == Sq and Sk_p == Sk
 
     # di = rowsum(dO * O) per (Hq, Sq)
     di = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
@@ -189,7 +206,8 @@ def _bwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do,
 
     def _p_ds(qb, kb, sqb, skb, pqb, pkb, lse_b, di_b, dob, vb):
         """Recompute probabilities and dS for one (q,k) block pair."""
-        mask = _block_mask(sqb, skb, pqb, pkb, statics.causal)
+        mask = None if maskless else \
+            _block_mask(sqb, skb, pqb, pkb, statics.causal)
         kf = kb.astype(jnp.float32)
         vf = vb.astype(jnp.float32)
         if G > 1:
@@ -198,7 +216,9 @@ def _bwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do,
         qf = qb.astype(jnp.float32) * statics.scale
         s = jnp.einsum("qhd,khd->hqk", qf, kf,
                        preferred_element_type=jnp.float32)
-        p = jnp.where(mask[None], jnp.exp(s - lse_b[..., None]), 0.0)
+        p = jnp.exp(s - lse_b[..., None])
+        if mask is not None:
+            p = jnp.where(mask[None], p, 0.0)
         dp = jnp.einsum("qhd,khd->hqk", dob.astype(jnp.float32), vf,
                         preferred_element_type=jnp.float32)
         ds = p * (dp - di_b[..., None])  # (Hq,bq,bk)
@@ -212,7 +232,8 @@ def _bwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do,
         def q_step(carry, inp):
             dk_acc, dv_acc = carry
             qb, dob, sqb, pqb, lse_b, di_b = inp
-            mask_any = jnp.any(_block_mask(sqb, skb, pqb, pkb, statics.causal))
+            mask_any = None if maskless else \
+                jnp.any(_block_mask(sqb, skb, pqb, pkb, statics.causal))
 
             def compute(carry):
                 dk_acc, dv_acc = carry
@@ -228,6 +249,8 @@ def _bwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do,
                     dk_b = dk_b.reshape(bk, Hkv, G, D).sum(axis=2)
                 return dk_acc + dk_b, dv_acc + dv_b
 
+            if mask_any is None:
+                return compute((dk_acc, dv_acc)), None
             return jax.lax.cond(mask_any, compute, lambda c: c,
                                 (dk_acc, dv_acc)), None
 
@@ -251,7 +274,8 @@ def _bwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do,
 
         def kv_step(dq_acc, inp):
             kb, vb, skb, pkb = inp
-            mask_any = jnp.any(_block_mask(sqb, skb, pqb, pkb, statics.causal))
+            mask_any = None if maskless else \
+                jnp.any(_block_mask(sqb, skb, pqb, pkb, statics.causal))
 
             def compute(dq_acc):
                 _, ds, kf, _ = _p_ds(qb, kb, sqb, skb, pqb, pkb, lse_b, di_b,
@@ -260,6 +284,8 @@ def _bwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do,
                                   preferred_element_type=jnp.float32)
                 return dq_acc + dq_b * statics.scale
 
+            if mask_any is None:
+                return compute(dq_acc), None
             return jax.lax.cond(mask_any, compute, lambda c: c, dq_acc), None
 
         dq_b, _ = jax.lax.scan(
@@ -421,6 +447,7 @@ def flash_attention(
         impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
     interpret = impl == "pallas" and jax.default_backend() != "tpu"
     ordered = q_positions is None and kv_positions is None
+    dense = q_segment_ids is None and kv_segment_ids is None
 
     if q_segment_ids is None:
         q_segment_ids = jnp.ones((B, Sq), jnp.int32)
@@ -458,7 +485,7 @@ def flash_attention(
     statics = AttnStatics(causal=causal, scale=float(scale),
                           block_q=block_q, block_k=block_k, impl=impl,
                           ordered=ordered, interpret=interpret,
-                          rope_theta=float(rope_theta))
+                          rope_theta=float(rope_theta), dense=dense)
     args = (q, k, v,
             q_segment_ids.astype(jnp.int32),
             kv_segment_ids.astype(jnp.int32),

@@ -148,7 +148,9 @@ def _kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
         out_ref[0, 0] = (acc_ref[...] / l_safe).astype(out_ref.dtype)
         m = m_ref[:, :1]
         lse = jnp.where(l > 0, m + jnp.log(l_safe), NEG_INF)  # (bq, 1)
-        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[-2:])
+        # lse output is (B, Hq, Sq_p, 1): a LANES-wide buffer here costs
+        # 128x the HBM (2.1 GB + 50 GB of writes over 24 layers at 256k)
+        lse_ref[0, 0] = lse
 
 
 def flash_attention_fwd_pallas(
@@ -262,11 +264,11 @@ def flash_attention_fwd_pallas(
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bq, LANES), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j: (b, h, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Hq, Sq_p, D), q.dtype),
-            jax.ShapeDtypeStruct((B, Hq, Sq_p, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, Sq_p, 1), jnp.float32),
         ],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(

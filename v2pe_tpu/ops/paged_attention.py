@@ -55,19 +55,20 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _store_kernel(pt_ref, len_ref, layer_ref,
+def _store_kernel(fp_ref, len_ref, layer_ref,
                   kn_ref, vn_ref, kfp_ref, vfp_ref,   # inputs
                   ko_ref, vo_ref,                      # outputs (aliased)
                   *, page_size: int, Hkv: int):
     b = pl.program_id(0)
     off = len_ref[b] % page_size
+    owned = fp_ref[b] >= 0  # seq sharding: another shard holds this page
     # Mosaic can't vector-store at a dynamic sublane offset in this 5D
     # layout — rewrite the whole page with a select at `off`
     sl = jax.lax.broadcasted_iota(jnp.int32, (Hkv, page_size, 1), 1)
     kn = kn_ref[0, :, :1].astype(ko_ref.dtype)          # (Hkv, 1, hd)
     vn = vn_ref[0, :, :1].astype(vo_ref.dtype)
-    ko_ref[0, :, 0] = jnp.where(sl == off, kn, kfp_ref[0, :, 0])
-    vo_ref[0, :, 0] = jnp.where(sl == off, vn, vfp_ref[0, :, 0])
+    ko_ref[0, :, 0] = jnp.where((sl == off) & owned, kn, kfp_ref[0, :, 0])
+    vo_ref[0, :, 0] = jnp.where((sl == off) & owned, vn, vfp_ref[0, :, 0])
 
 
 def store_fresh_token(
@@ -80,12 +81,21 @@ def store_fresh_token(
     layer: jnp.ndarray,       # () int32
     *,
     interpret: bool = False,
+    fresh_pages: jnp.ndarray | None = None,  # (B,) page id, -1 = not ours
 ):
     """Returns (k_pages, v_pages) with the fresh token written at slot
-    ``lengths`` of ``layer`` — in place via input_output_aliases."""
+    ``lengths`` of ``layer`` — in place via input_output_aliases.
+
+    ``fresh_pages`` overrides the page lookup (sequence sharding passes the
+    shard-LOCAL page id, -1 when another shard owns the token's page — the
+    kernel then rewrites page 0 with itself, a no-op)."""
     B = k_new.shape[0]
     L, Hkv, NP, ps, hd = k_pages.shape
     MP = page_table.shape[1]
+    if fresh_pages is None:
+        slot = jnp.minimum(lengths // ps, MP - 1)
+        fresh_pages = jnp.take_along_axis(page_table, slot[:, None],
+                                          axis=1)[:, 0]
 
     knr = jnp.swapaxes(k_new, 1, 2)  # (B, Hkv, 1, hd)
     vnr = jnp.swapaxes(v_new, 1, 2)
@@ -96,9 +106,8 @@ def store_fresh_token(
     def vec_index(b, *_):
         return (b, 0, 0, 0)
 
-    def fresh_page_index(b, pt, lens, lyr):
-        slot = jnp.minimum(lens[b] // ps, MP - 1)
-        return (lyr[0], 0, jnp.maximum(pt[b, slot], 0), 0, 0)
+    def fresh_page_index(b, fp, lens, lyr):
+        return (lyr[0], 0, jnp.maximum(fp[b], 0), 0, 0)
 
     fresh_spec = pl.BlockSpec((1, Hkv, 1, ps, hd), fresh_page_index)
     kernel = functools.partial(_store_kernel, page_size=ps, Hkv=Hkv)
@@ -122,7 +131,8 @@ def store_fresh_token(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(page_table, lengths, layer.reshape(1), knr, vnr, k_pages, v_pages)
+    )(fresh_pages.astype(jnp.int32), lengths, layer.reshape(1),
+      knr, vnr, k_pages, v_pages)
 
 
 # ---------------------------------------------------------------------------
@@ -130,17 +140,23 @@ def store_fresh_token(
 # ---------------------------------------------------------------------------
 
 
-def _attn_kernel(pt_ref, len_ref, layer_ref,        # scalar prefetch (SMEM)
+def _attn_kernel(pt_ref, sb_ref, len_ref, fold_ref, layer_ref,  # SMEM
                  *refs,                              # VMEM blocks + scratch
                  page_size: int, T: int, G: int, R: int, Tp: int,
                  Hkv: int, num_pages: int, scale: float,
-                 fresh_in_pages: bool):
+                 fresh_in_pages: bool, return_lse: bool):
     if fresh_in_pages:
-        q_ref, kp_ref, vp_ref, out_ref, acc_ref, m_ref, l_ref = refs
+        q_ref, kp_ref, vp_ref = refs[:3]
         kn_ref = vn_ref = None
+        rest = refs[3:]
     else:
-        (q_ref, kn_ref, vn_ref, kp_ref, vp_ref, out_ref,
-         acc_ref, m_ref, l_ref) = refs
+        q_ref, kn_ref, vn_ref, kp_ref, vp_ref = refs[:5]
+        rest = refs[5:]
+    if return_lse:
+        out_ref, lse_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        (out_ref, acc_ref, m_ref, l_ref) = rest
+        lse_ref = None
     b = pl.program_id(0)
     j = pl.program_id(1)
     length = len_ref[b]          # cache tokens (EXCLUDING the T fresh ones)
@@ -167,19 +183,23 @@ def _attn_kernel(pt_ref, len_ref, layer_ref,        # scalar prefetch (SMEM)
         acc_ref[...] = acc_ref[...] * corr + pv
         m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
 
-    # ---- cache page j. fresh_in_pages: the T fresh tokens sit at slots
-    # length..length+T-1; fresh token t sees slots <= length+t. Otherwise
-    # all slots < length are visible to every fresh token.
+    # ---- cache page at table slot j. Its first token's GLOBAL slot index
+    # comes from the prefetched slot-base array (sb < 0 marks a dead entry:
+    # unallocated, or owned by another shard under sequence sharding).
+    # fresh_in_pages: the T fresh tokens sit at slots length..length+T-1;
+    # fresh token t sees slots <= length+t. Otherwise all slots < length
+    # are visible to every fresh token.
     page_end = length + (T if fresh_in_pages else 0)
+    sb = sb_ref[b, j]
 
-    @pl.when(j * page_size < page_end)
+    @pl.when((sb >= 0) & (sb < page_end))
     def _page():
         q = q_ref[0].astype(jnp.float32) * scale            # (Hkv, R, hd)
         k = kp_ref[0, :, 0].astype(jnp.float32)             # (Hkv, ps, hd)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)             # (Hkv, R, ps)
-        slot = j * page_size + jax.lax.broadcasted_iota(
+        slot = sb + jax.lax.broadcasted_iota(
             jnp.int32, (Hkv, R, page_size), 2)
         if fresh_in_pages:
             t_row = jax.lax.broadcasted_iota(
@@ -189,11 +209,11 @@ def _attn_kernel(pt_ref, len_ref, layer_ref,        # scalar prefetch (SMEM)
             mask = slot < length
         _online(s, mask, vp_ref[0, :, 0].astype(jnp.float32))
 
-    # ---- final step: fold separate fresh tokens (when not paged yet),
-    # then normalize and write out
-    @pl.when(j == num_pages - 1)
-    def _finalize():
-        if not fresh_in_pages:
+    # ---- final step: fold separate fresh tokens (when not paged yet and
+    # this shard is the designated folder), then normalize and write out
+    if not fresh_in_pages:
+        @pl.when((j == num_pages - 1) & (fold_ref[0] == 1))
+        def _fold_fresh():
             q = q_ref[0].astype(jnp.float32) * scale        # (Hkv, R, hd)
             kn = kn_ref[0].astype(jnp.float32)              # (Hkv, Tp, hd)
             s = jax.lax.dot_general(
@@ -204,9 +224,16 @@ def _attn_kernel(pt_ref, len_ref, layer_ref,        # scalar prefetch (SMEM)
             u_col = jax.lax.broadcasted_iota(jnp.int32, (Hkv, R, Tp), 2)
             _online(s, (u_col <= t_row) & (u_col < T),
                     vn_ref[0].astype(jnp.float32))
+
+    @pl.when(j == num_pages - 1)
+    def _finalize():
         l = l_ref[..., :1]
         l_safe = jnp.where(l > 0, l, 1.0)
         out_ref[0] = (acc_ref[...] / l_safe).astype(out_ref.dtype)
+        if return_lse:
+            m = m_ref[..., :1]
+            lse = jnp.where(l > 0, m + jnp.log(l_safe), NEG_INF)
+            lse_ref[0] = lse
 
 
 def paged_decode_attention(
@@ -222,12 +249,22 @@ def paged_decode_attention(
     scale: float | None = None,
     interpret: bool = False,
     fresh_in_pages: bool = False,
-) -> jnp.ndarray:
+    slot_base: jnp.ndarray | None = None,  # (B, MP') global slot starts
+    fold_fresh: jnp.ndarray | None = None,  # () int32 gate (default 1)
+    return_lse: bool = False,
+):
     """Returns (B, T, Hq, hd): attention of the fresh queries over their
     row's paged history plus the fresh tokens themselves (causal). With
     ``fresh_in_pages`` the fresh k/v were already stored at slots
     lengths..lengths+T-1 (see :func:`store_fresh_token`); ``lengths``
-    always EXCLUDES the fresh tokens."""
+    always EXCLUDES the fresh tokens.
+
+    Sequence sharding hooks: ``page_table`` may be a shard-LOCAL view (the
+    entries index this shard's pool) with ``slot_base`` carrying each
+    entry's global token offset (-1 = dead entry — skipped without
+    corrupting the softmax); ``fold_fresh=0`` suppresses the separate-fresh
+    fold so only one shard counts the fresh tokens; ``return_lse`` adds a
+    (B, Hq, T) float32 logsumexp output for the cross-shard merge."""
     B, T, Hq, hd = q.shape
     Hkv = k_pages.shape[1]
     G = Hq // Hkv
@@ -235,6 +272,13 @@ def paged_decode_attention(
     ps = k_pages.shape[3]
     if scale is None:
         scale = hd ** -0.5
+    if slot_base is None:
+        # dead entries (page -1) get slot_base -1; live ones their offset
+        slot_base = jnp.where(
+            page_table >= 0,
+            jnp.arange(MP, dtype=jnp.int32)[None] * ps, -1)
+    if fold_fresh is None:
+        fold_fresh = jnp.ones((), jnp.int32)
 
     # rows per kv head = fresh tokens x group, padded to a sublane multiple
     R = _round_up(T * G, 8)
@@ -249,15 +293,17 @@ def paged_decode_attention(
     def vec_index(b, j, *_):
         return (b, 0, 0, 0)
 
-    def page_index(b, j, pt, lens, lyr):
+    def page_index(b, j, pt, sb, lens, fold, lyr):
         return (lyr[0], 0, jnp.maximum(pt[b, j], 0), 0, 0)
 
     kernel = functools.partial(
         _attn_kernel, page_size=ps, T=T, G=G, R=R, Tp=Tp, Hkv=Hkv,
-        num_pages=MP, scale=float(scale), fresh_in_pages=fresh_in_pages)
+        num_pages=MP, scale=float(scale), fresh_in_pages=fresh_in_pages,
+        return_lse=return_lse)
 
     page_spec = pl.BlockSpec((1, Hkv, 1, ps, hd), page_index)
-    operands = [page_table, lengths, layer.reshape(1), qr]
+    operands = [page_table, slot_base.astype(jnp.int32), lengths,
+                fold_fresh.reshape(1), layer.reshape(1), qr]
     in_specs = [pl.BlockSpec((1, Hkv, R, hd), vec_index)]
     if not fresh_in_pages:
         knr = jnp.swapaxes(k_new, 1, 2)  # (B, Hkv, T, hd)
@@ -270,28 +316,40 @@ def paged_decode_attention(
     operands += [k_pages, v_pages]
     in_specs += [page_spec, page_spec]
 
-    out = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, Hkv, R, hd), vec_index)]
+    out_shapes = [jax.ShapeDtypeStruct((B, Hkv, R, hd), q.dtype)]
+    if return_lse:
+        out_specs += [pl.BlockSpec((1, Hkv, R, 1), vec_index)]
+        out_shapes += [jax.ShapeDtypeStruct((B, Hkv, R, 1), jnp.float32)]
+
+    res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=5,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, Hkv, R, hd), vec_index),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((Hkv, R, hd), jnp.float32),
                 pltpu.VMEM((Hkv, R, LANES), jnp.float32),
                 pltpu.VMEM((Hkv, R, LANES), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, R, hd), q.dtype),
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(*operands)
 
+    out = res[0]
     out = out[:, :, :T * G].reshape(B, Hkv, T, G, hd)
-    return jnp.swapaxes(out, 1, 2).reshape(B, T, Hq, hd)
+    out = jnp.swapaxes(out, 1, 2).reshape(B, T, Hq, hd)
+    if return_lse:
+        lse = res[1][:, :, :T * G, 0].reshape(B, Hkv, T, G)
+        lse = jnp.moveaxis(lse, 3, 2).reshape(B, Hq, T)
+        return out, lse
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -367,6 +425,134 @@ def sharded_paged_decode_attention(
     return jax.shard_map(
         fn, mesh=mesh,
         in_specs=(hspec, hspec, hspec, pspec, pspec, tspec, lspec, sspec),
+        out_specs=hspec,
+        check_vma=False,
+    )(q, k_new, v_new, k_pages, v_pages, page_table, lengths, layer)
+
+
+# ---------------------------------------------------------------------------
+# sequence-sharded decode (page pool over the 'seq' axis, composable w/ TP)
+# ---------------------------------------------------------------------------
+
+
+def _local_page_view(page_table, seq_axis: str, n_seq: int, NP: int):
+    """Per-shard view of a GLOBAL page table: this shard's pages resolved to
+    local indices and compacted to the front (allocate_rows' round-robin
+    placement bounds any row's per-shard page count by ceil(MP/n)+1, so the
+    compacted table is sliced to that), with each entry's global token-slot
+    start alongside (-1 = dead)."""
+    B, MP = page_table.shape
+    NPl = NP // n_seq
+    d = jax.lax.axis_index(seq_axis)
+    owned = (page_table >= d * NPl) & (page_table < (d + 1) * NPl)
+    order = jnp.argsort(~owned, axis=1, stable=True)       # owned first
+    MPl = min(MP, -(-MP // n_seq) + 1)
+    order = order[:, :MPl]
+    own_s = jnp.take_along_axis(owned, order, axis=1)
+    pt_l = jnp.take_along_axis(page_table, order, axis=1) - d * NPl
+    pt_l = jnp.where(own_s, pt_l, -1)
+    slot_idx = jnp.where(own_s, order, -1)   # table slot of each local page
+    return pt_l.astype(jnp.int32), slot_idx.astype(jnp.int32), d
+
+
+def seq_sharded_store_fresh_token(
+        mesh, seq_axis: str, tensor_axis, k_new, v_new, k_pages, v_pages,
+        page_table, lengths, layer, *, interpret: bool = False):
+    """Store the fresh token into whichever shard owns its page. The pool
+    is sharded (NP over ``seq``; optionally Hkv over ``tensor``); only the
+    owning shard's store kernel writes (others no-op on their page 0)."""
+    from jax.sharding import PartitionSpec as P
+
+    n_seq = mesh.shape[seq_axis]
+    nt = mesh.shape[tensor_axis] if tensor_axis else 1
+    Hkv = k_pages.shape[1]
+    head_ax = tensor_axis if (nt > 1 and Hkv % nt == 0) else None
+    NP = k_pages.shape[2]
+    ps = k_pages.shape[3]
+    NPl = NP // n_seq
+
+    def body(k_new, v_new, kp, vp, pt, lens, lyr):
+        d = jax.lax.axis_index(seq_axis)
+        slot = jnp.minimum(lens // ps, pt.shape[1] - 1)
+        phys = jnp.take_along_axis(pt, slot[:, None], axis=1)[:, 0]
+        owned = (phys >= d * NPl) & (phys < (d + 1) * NPl)
+        fp = jnp.where(owned, phys - d * NPl, -1)
+        return store_fresh_token(k_new, v_new, kp, vp, pt, lens, lyr,
+                                 interpret=interpret, fresh_pages=fp)
+
+    hspec = P(None, None, head_ax, None)
+    pspec = P(None, head_ax, seq_axis, None, None)
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(hspec, hspec, pspec, pspec, P(None, None), P(None), P()),
+        out_specs=(pspec, pspec),
+        check_vma=False,
+    )(k_new, v_new, k_pages, v_pages, page_table, lengths, layer)
+
+
+def seq_sharded_paged_decode_attention(
+        mesh, seq_axis: str, tensor_axis, q, k_new, v_new, k_pages, v_pages,
+        page_table, lengths, layer, *, scale: float | None = None,
+        interpret: bool = False, fresh_in_pages: bool = False):
+    """Decode attention over a page pool sharded on the ``seq`` mesh axis
+    (each shard owns NP/n physical pages — the 1M-context serving layout,
+    SURVEY §7's KV-cache north star), composable with kv-head ``tensor``
+    sharding. Each shard attends over its own pages only (compacted local
+    table: ~MP/n grid steps per shard) and the partial (out, lse) states
+    merge with the ring-attention logsumexp contract via two psums over
+    ICI. The separate-fresh fold (fresh_in_pages=False) runs on shard 0
+    alone so fresh tokens are counted exactly once."""
+    from jax.sharding import PartitionSpec as P
+
+    n_seq = mesh.shape[seq_axis]
+    if n_seq == 1:
+        return sharded_paged_decode_attention(
+            mesh, tensor_axis, q, k_new, v_new, k_pages, v_pages,
+            page_table, lengths, layer, scale=scale, interpret=interpret,
+            fresh_in_pages=fresh_in_pages)
+    nt = mesh.shape[tensor_axis] if tensor_axis else 1
+    Hkv = k_pages.shape[1]
+    Hq = q.shape[2]
+    head_ax = tensor_axis if (nt > 1 and Hkv % nt == 0
+                              and Hq % nt == 0) else None
+    NP = k_pages.shape[2]
+    ps = k_pages.shape[3]
+
+    def body(q, k_new, v_new, kp, vp, pt, lens, lyr):
+        pt_l, slot_idx, d = _local_page_view(pt, seq_axis, n_seq, NP)
+        sb = jnp.where(slot_idx >= 0, slot_idx * ps, -1)
+        fold = (d == 0).astype(jnp.int32)
+        out, lse = paged_decode_attention(
+            q, k_new, v_new, kp, vp, pt_l, lens, lyr, scale=scale,
+            interpret=interpret, fresh_in_pages=fresh_in_pages,
+            slot_base=sb, fold_fresh=fold, return_lse=True)
+        # logsumexp merge across shards (all-masked shards carry -inf)
+        m = jax.lax.pmax(lse, seq_axis)                     # (B, Hq, T)
+        w = jnp.exp(lse - m)
+        w = jnp.where(lse <= NEG_INF / 2, 0.0, w)
+        num = jax.lax.psum(out.astype(jnp.float32)
+                           * jnp.moveaxis(w, 1, 2)[..., None], seq_axis)
+        den = jax.lax.psum(w, seq_axis)
+        den = jnp.moveaxis(jnp.maximum(den, 1e-30), 1, 2)[..., None]
+        return (num / den).astype(q.dtype)
+
+    hspec = P(None, None, head_ax, None)
+    pspec = P(None, head_ax, seq_axis, None, None)
+    if fresh_in_pages:
+        def call(q, kp, vp, pt, lens, lyr):
+            return body(q, None, None, kp, vp, pt, lens, lyr)
+
+        return jax.shard_map(
+            call, mesh=mesh,
+            in_specs=(hspec, pspec, pspec, P(None, None), P(None), P()),
+            out_specs=hspec,
+            check_vma=False,
+        )(q, k_pages, v_pages, page_table, lengths, layer)
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(hspec, hspec, hspec, pspec, pspec, P(None, None), P(None),
+                  P()),
         out_specs=hspec,
         check_vma=False,
     )(q, k_new, v_new, k_pages, v_pages, page_table, lengths, layer)
