@@ -24,6 +24,7 @@ blockwise from the saved logsumexp).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -87,10 +88,6 @@ def _fwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, statics: AttnStatics):
     bq, bk = min(statics.block_q, Sq), min(statics.block_k, Sk)
     nq, nk = _cdiv(Sq, bq), _cdiv(Sk, bk)
     Sq_p, Sk_p = nq * bq, nk * bk
-    # fully dense + unpadded + bidirectional: no mask exists at all
-    maskless = statics.dense and not statics.causal \
-        and Sq_p == Sq and Sk_p == Sk
-
     q = _pad_axis(q, 0, Sq_p)
     seg_q = _pad_axis(seg_q, 0, Sq_p)
     pos_q = _pad_axis(pos_q, 0, Sq_p, value=-1)
@@ -103,20 +100,27 @@ def _fwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, statics: AttnStatics):
     vr = jnp.reshape(v, (nk, bk, Hkv, D))
     seg_kr = jnp.reshape(seg_k, (nk, bk))
     pos_kr = jnp.reshape(pos_k, (nk, bk))
+    # per-block segment/position summaries — O(S) — classify every (q, k)
+    # block pair as dead / fully-live / partial from scalars alone, so the
+    # O(bq*bk) element mask is built ONLY for boundary blocks. Without this
+    # the mask iota-compares dominate the jnp impl (they are O(S^2) memory
+    # traffic regardless of sparsity) and, with constant segment inputs,
+    # got constant-folded at trace time into full-S^2 reduce-windows.
+    sk_mins, sk_maxs = seg_kr.min(axis=1), seg_kr.max(axis=1)
+    pk_mins, pk_maxs = pos_kr.min(axis=1), pos_kr.max(axis=1)
 
     def q_block(qi):
         qb = jax.lax.dynamic_slice_in_dim(q, qi * bq, bq, 0)  # (bq,Hq,D)
         sqb = jax.lax.dynamic_slice_in_dim(seg_q, qi * bq, bq, 0)
         pqb = jax.lax.dynamic_slice_in_dim(pos_q, qi * bq, bq, 0)
         qf = qb.astype(jnp.float32) * statics.scale
+        sq_min, sq_max = jnp.min(sqb), jnp.max(sqb)
+        pq_min, pq_max = jnp.min(pqb), jnp.max(pqb)
 
         def kv_step(carry, inp):
-            acc, m, l = carry
-            kb, vb, skb, pkb = inp
-            mask = None if maskless else \
-                _block_mask(sqb, skb, pqb, pkb, statics.causal)
+            kb, vb, skb, pkb, sk_min, sk_max, pk_min, pk_max = inp
 
-            def compute(carry):
+            def compute(carry, mask):
                 acc, m, l = carry
                 kf = kb.astype(jnp.float32)
                 if G > 1:
@@ -139,17 +143,33 @@ def _fwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, statics: AttnStatics):
                 acc = acc * corr[..., None] + pv
                 return acc, m_new, l_new
 
-            if mask is None:
-                return compute((acc, m, l)), None
-            return jax.lax.cond(jnp.any(mask), compute, lambda c: c,
-                                (acc, m, l)), None
+            def masked(carry):
+                return compute(carry, _block_mask(sqb, skb, pqb, pkb,
+                                                  statics.causal))
+
+            # dead: segment ranges disjoint, all-padding, or (causal)
+            # strictly-future keys. fully-live: both blocks one identical
+            # non-padding segment and (causal) keys entirely <= queries.
+            dead = (sq_max < sk_min) | (sk_max < sq_min) \
+                | (sk_max == 0) | (sq_max == 0)
+            full = (sq_min == sq_max) & (sk_min == sk_max) \
+                & (sq_min == sk_min) & (sq_min != 0)
+            if statics.causal:
+                dead = dead | (pq_max < pk_min)
+                full = full & (pq_min >= pk_max)
+            idx = jnp.where(dead, 0, jnp.where(full, 2, 1))
+            return jax.lax.switch(
+                idx, [lambda c: c, masked, lambda c: compute(c, None)],
+                carry), None
 
         init = (
             jnp.zeros((Hq, bq, D), jnp.float32),
             jnp.full((Hq, bq), NEG_INF, jnp.float32),
             jnp.zeros((Hq, bq), jnp.float32),
         )
-        (acc, m, l), _ = jax.lax.scan(kv_step, init, (kr, vr, seg_kr, pos_kr))
+        (acc, m, l), _ = jax.lax.scan(
+            kv_step, init,
+            (kr, vr, seg_kr, pos_kr, sk_mins, sk_maxs, pk_mins, pk_maxs))
         l_safe = jnp.where(l > 0, l, 1.0)
         out = (acc / l_safe[..., None]).astype(q.dtype)  # (Hq,bq,D)
         lse = jnp.where(l > 0, m + jnp.log(l_safe), NEG_INF)  # (Hq,bq)
@@ -174,8 +194,6 @@ def _bwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do,
     bq, bk = min(statics.block_q, Sq), min(statics.block_k, Sk)
     nq, nk = _cdiv(Sq, bq), _cdiv(Sk, bk)
     Sq_p, Sk_p = nq * bq, nk * bk
-    maskless = statics.dense and not statics.causal \
-        and Sq_p == Sq and Sk_p == Sk
 
     # di = rowsum(dO * O) per (Hq, Sq)
     di = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
@@ -204,10 +222,26 @@ def _bwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do,
     seg_kr = jnp.reshape(seg_k, (nk, bk))
     pos_kr = jnp.reshape(pos_k, (nk, bk))
 
-    def _p_ds(qb, kb, sqb, skb, pqb, pkb, lse_b, di_b, dob, vb):
+    # block-level liveness summaries (see _fwd_jnp_1b): classify each pair
+    # dead/full/partial from scalars; element masks only at boundaries
+    sq_mins, sq_maxs = seg_qr.min(axis=1), seg_qr.max(axis=1)
+    pq_mins, pq_maxs = pos_qr.min(axis=1), pos_qr.max(axis=1)
+    sk_mins, sk_maxs = seg_kr.min(axis=1), seg_kr.max(axis=1)
+    pk_mins, pk_maxs = pos_kr.min(axis=1), pos_kr.max(axis=1)
+
+    def _liveness(sq_min, sq_max, pq_min, pq_max,
+                  sk_min, sk_max, pk_min, pk_max):
+        dead = (sq_max < sk_min) | (sk_max < sq_min) \
+            | (sk_max == 0) | (sq_max == 0)
+        full = (sq_min == sq_max) & (sk_min == sk_max) \
+            & (sq_min == sk_min) & (sq_min != 0)
+        if statics.causal:
+            dead = dead | (pq_max < pk_min)
+            full = full & (pq_min >= pk_max)
+        return jnp.where(dead, 0, jnp.where(full, 2, 1))
+
+    def _p_ds(qb, kb, lse_b, di_b, dob, vb, mask):
         """Recompute probabilities and dS for one (q,k) block pair."""
-        mask = None if maskless else \
-            _block_mask(sqb, skb, pqb, pkb, statics.causal)
         kf = kb.astype(jnp.float32)
         vf = vb.astype(jnp.float32)
         if G > 1:
@@ -222,23 +256,22 @@ def _bwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do,
         dp = jnp.einsum("qhd,khd->hqk", dob.astype(jnp.float32), vf,
                         preferred_element_type=jnp.float32)
         ds = p * (dp - di_b[..., None])  # (Hq,bq,bk)
-        return p, ds, kf, mask
+        return p, ds, kf
 
     # Pass 1: dk, dv — scan over kv blocks, inner scan over q blocks.
     def kv_block(_, ki):
         kb, vb = kr[ki], vr[ki]
         skb, pkb = seg_kr[ki], pos_kr[ki]
+        sk_min, sk_max = sk_mins[ki], sk_maxs[ki]
+        pk_min, pk_max = pk_mins[ki], pk_maxs[ki]
 
         def q_step(carry, inp):
-            dk_acc, dv_acc = carry
-            qb, dob, sqb, pqb, lse_b, di_b = inp
-            mask_any = None if maskless else \
-                jnp.any(_block_mask(sqb, skb, pqb, pkb, statics.causal))
+            (qb, dob, sqb, pqb, lse_b, di_b,
+             sq_min, sq_max, pq_min, pq_max) = inp
 
-            def compute(carry):
+            def compute(carry, mask):
                 dk_acc, dv_acc = carry
-                p, ds, _, _ = _p_ds(qb, kb, sqb, skb, pqb, pkb, lse_b, di_b,
-                                    dob, vb)
+                p, ds, _ = _p_ds(qb, kb, lse_b, di_b, dob, vb, mask)
                 dv_b = jnp.einsum("hqk,qhd->khd", p, dob.astype(jnp.float32),
                                   preferred_element_type=jnp.float32)
                 dk_b = jnp.einsum("hqk,qhd->khd", ds,
@@ -249,17 +282,23 @@ def _bwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do,
                     dk_b = dk_b.reshape(bk, Hkv, G, D).sum(axis=2)
                 return dk_acc + dk_b, dv_acc + dv_b
 
-            if mask_any is None:
-                return compute((dk_acc, dv_acc)), None
-            return jax.lax.cond(mask_any, compute, lambda c: c,
-                                (dk_acc, dv_acc)), None
+            def masked(carry):
+                return compute(carry, _block_mask(sqb, skb, pqb, pkb,
+                                                  statics.causal))
+
+            idx = _liveness(sq_min, sq_max, pq_min, pq_max,
+                            sk_min, sk_max, pk_min, pk_max)
+            return jax.lax.switch(
+                idx, [lambda c: c, masked, lambda c: compute(c, None)],
+                carry), None
 
         init = (jnp.zeros((bk, Hkv, D), jnp.float32),
                 jnp.zeros((bk, Hkv, D), jnp.float32))
         (dk_b, dv_b), _ = jax.lax.scan(
             q_step, init,
             (qr, dor, seg_qr, pos_qr,
-             jnp.swapaxes(lser, 0, 1), jnp.swapaxes(dir_, 0, 1)))
+             jnp.swapaxes(lser, 0, 1), jnp.swapaxes(dir_, 0, 1),
+             sq_mins, sq_maxs, pq_mins, pq_maxs))
         return None, (dk_b, dv_b)
 
     _, (dk_blocks, dv_blocks) = jax.lax.scan(kv_block, None, jnp.arange(nk))
@@ -271,26 +310,31 @@ def _bwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do,
         qb, dob = qr[qi], dor[qi]
         sqb, pqb = seg_qr[qi], pos_qr[qi]
         lse_b, di_b = lser[:, qi], dir_[:, qi]
+        sq_min, sq_max = sq_mins[qi], sq_maxs[qi]
+        pq_min, pq_max = pq_mins[qi], pq_maxs[qi]
 
         def kv_step(dq_acc, inp):
-            kb, vb, skb, pkb = inp
-            mask_any = None if maskless else \
-                jnp.any(_block_mask(sqb, skb, pqb, pkb, statics.causal))
+            kb, vb, skb, pkb, sk_min, sk_max, pk_min, pk_max = inp
 
-            def compute(dq_acc):
-                _, ds, kf, _ = _p_ds(qb, kb, sqb, skb, pqb, pkb, lse_b, di_b,
-                                     dob, vb)
+            def compute(dq_acc, mask):
+                _, ds, kf = _p_ds(qb, kb, lse_b, di_b, dob, vb, mask)
                 dq_b = jnp.einsum("hqk,khd->qhd", ds, kf,
                                   preferred_element_type=jnp.float32)
                 return dq_acc + dq_b * statics.scale
 
-            if mask_any is None:
-                return compute(dq_acc), None
-            return jax.lax.cond(mask_any, compute, lambda c: c, dq_acc), None
+            def masked(dq_acc):
+                return compute(dq_acc, _block_mask(sqb, skb, pqb, pkb,
+                                                   statics.causal))
+
+            idx = _liveness(sq_min, sq_max, pq_min, pq_max,
+                            sk_min, sk_max, pk_min, pk_max)
+            return jax.lax.switch(
+                idx, [lambda c: c, masked, lambda c: compute(c, None)],
+                dq_acc), None
 
         dq_b, _ = jax.lax.scan(
             kv_step, jnp.zeros((bq, Hq, D), jnp.float32),
-            (kr, vr, seg_kr, pos_kr))
+            (kr, vr, seg_kr, pos_kr, sk_mins, sk_maxs, pk_mins, pk_maxs))
         return None, dq_b
 
     _, dq_blocks = jax.lax.scan(q_block, None, jnp.arange(nq))
@@ -340,6 +384,14 @@ def _fwd_dispatch(statics: AttnStatics, q, k, v, seg_q, seg_k, pos_q, pos_k,
             rope_q=rope_q, rope_k=rope_k, rope_theta=statics.rope_theta)
     if statics.rope_theta:
         q, k = _apply_rope_jnp(q, k, rope_q, rope_k, statics.rope_theta)
+    if q.shape[0] == 1:
+        # no vmap for a single row: vmap rewrites the liveness
+        # cond/switch into compute-all-branches selects (batched
+        # predicate), which defeats block skipping — the difference
+        # between O(S*segment) and 3x O(S^2) at long context
+        out, lse = _fwd_jnp_1b(q[0], k[0], v[0], seg_q[0], seg_k[0],
+                               pos_q[0], pos_k[0], statics)
+        return out[None], lse[None]
     out, lse = jax.vmap(
         lambda *a: _fwd_jnp_1b(*a, statics))(q, k, v, seg_q, seg_k,
                                              pos_q, pos_k)
@@ -375,20 +427,27 @@ def _bwd_dispatch(statics: AttnStatics, q, k, v, seg_q, seg_k, pos_q, pos_k,
             block_q=statics.block_q, block_k=statics.block_k,
             ordered=statics.ordered, interpret=statics.interpret,
             rope_q=rope_q, rope_k=rope_k, rope_theta=statics.rope_theta)
+    def bwd_rows(q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do):
+        if q.shape[0] == 1:  # see _fwd_dispatch: vmap defeats block skip
+            dq, dk, dv = _bwd_jnp_1b(q[0], k[0], v[0], seg_q[0], seg_k[0],
+                                     pos_q[0], pos_k[0], out[0], lse[0],
+                                     do[0], statics)
+            return dq[None], dk[None], dv[None]
+        return jax.vmap(
+            lambda *a: _bwd_jnp_1b(*a, statics))(q, k, v, seg_q, seg_k,
+                                                 pos_q, pos_k, out, lse, do)
+
     if statics.rope_theta:
         # residuals hold PRE-rotation q/k: rotate for the recomputation,
         # then rotate the resulting dq/dk back (R is orthogonal)
         q_r, k_r = _apply_rope_jnp(q, k, rope_q, rope_k, statics.rope_theta)
-        dq, dk, dv = jax.vmap(
-            lambda *a: _bwd_jnp_1b(*a, statics))(q_r, k_r, v, seg_q, seg_k,
-                                                 pos_q, pos_k, out, lse, do)
+        dq, dk, dv = bwd_rows(q_r, k_r, v, seg_q, seg_k, pos_q, pos_k,
+                              out, lse, do)
         dq = _rope_transpose(dq, rope_q, statics.rope_theta)
         if rope_k is not None:
             dk = _rope_transpose(dk, rope_k, statics.rope_theta)
         return dq, dk, dv
-    return jax.vmap(
-        lambda *a: _bwd_jnp_1b(*a, statics))(q, k, v, seg_q, seg_k,
-                                             pos_q, pos_k, out, lse, do)
+    return bwd_rows(q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do)
 
 
 def _flash_bwd(statics, res, do):
@@ -417,8 +476,10 @@ def flash_attention(
     kv_positions: Optional[jnp.ndarray] = None,
     causal: bool = True,
     scale: Optional[float] = None,
-    block_q: int = 512,   # tuned on v5e: (512,1024) reaches ~100 TFLOPs at 8k
-    block_k: int = 1024,
+    block_q: Optional[int] = None,  # default 512 — tuned on v5e: (512,1024)
+    block_k: Optional[int] = None,  # reaches ~100 TFLOPs at 8k. Overridable
+    # via V2PE_ATTN_BLOCK_Q/K (CPU-backend runs want much bigger blocks:
+    # the per-block mask/liveness overhead dominates at jnp-impl speeds)
     impl: str = "auto",
     rope_positions=None,  # (rope_q (B,Sq) f32, rope_k (B,Sk) f32, theta)
 ) -> jnp.ndarray:
@@ -443,6 +504,10 @@ def flash_attention(
     assert k.shape == v.shape and Hq % Hkv == 0
     if scale is None:
         scale = D ** -0.5
+    if block_q is None:
+        block_q = int(os.environ.get("V2PE_ATTN_BLOCK_Q", 512))
+    if block_k is None:
+        block_k = int(os.environ.get("V2PE_ATTN_BLOCK_K", 1024))
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
     interpret = impl == "pallas" and jax.default_backend() != "tpu"
