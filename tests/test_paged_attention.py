@@ -254,6 +254,148 @@ def test_llm_forward_paged_long_prompt_in_scan_writes():
                                atol=1e-6)
 
 
+def _dense_ref_from_gather(cache, layer, q, k_new, v_new):
+    """Reference over the (dequantized) gathered pages — bit-identical
+    history to what the kernel reads."""
+    k_g, v_g, valid = pk.gather_row_kv(cache, layer)
+    B, T = q.shape[:2]
+    S = k_g.shape[1]
+    if k_new is not None:
+        k_g = jnp.concatenate([k_g, k_new.astype(k_g.dtype)], axis=1)
+        v_g = jnp.concatenate([v_g, v_new.astype(v_g.dtype)], axis=1)
+    kv_pos = jnp.broadcast_to(jnp.arange(k_g.shape[1], dtype=jnp.int32),
+                              (B, k_g.shape[1]))
+    kv_seg = jnp.where((kv_pos < cache.lengths[:, None]) | (kv_pos >= S),
+                       1, 0)
+    q_pos = S + jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    return attention_reference(
+        q.astype(k_g.dtype), k_g, v_g,
+        q_segment_ids=jnp.ones((B, T), jnp.int32),
+        kv_segment_ids=kv_seg, causal=True,
+        q_positions=q_pos, kv_positions=kv_pos)
+
+
+@pytest.mark.parametrize("T", [1, 4])
+def test_paged_decode_parity_int8(T):
+    """int8-quantized pool: the kernel's in-VMEM dequant (scales folded on
+    the lane dim) matches dense attention over the dequantized gather."""
+    cfg = _cfg()
+    lengths = [23, 13]
+    B = len(lengths)
+    Hkv, hd, L = cfg.num_key_value_heads, cfg.head_dim, cfg.num_hidden_layers
+    rng = np.random.RandomState(0)
+    S = max(lengths)
+    k_hist = rng.randn(L, B, S, Hkv, hd).astype(np.float32)
+    v_hist = rng.randn(L, B, S, Hkv, hd).astype(np.float32)
+    lens = jnp.asarray(lengths, jnp.int32)
+    cache = pk.PagedKVCache.zeros(cfg, batch=B, n_pages=64, page_size=8,
+                                  max_pages_per_row=8, kv_dtype="int8")
+    assert cache.quantized and cache.k_pages.dtype == jnp.int8
+    cache = pk.allocate_rows(cache, lens)
+    cache = pk.write_all_layers(cache, jnp.asarray(k_hist),
+                                jnp.asarray(v_hist), valid_t=lens)
+    cache = cache._replace(lengths=lens)
+    q = jnp.asarray(rng.randn(B, T, cfg.num_attention_heads, hd), jnp.float32)
+    k_new = jnp.asarray(rng.randn(B, T, Hkv, hd), jnp.float32)
+    v_new = jnp.asarray(rng.randn(B, T, Hkv, hd), jnp.float32)
+    for layer in range(L):
+        out = paged_decode_attention(
+            q, k_new, v_new, cache.k_pages, cache.v_pages, cache.page_table,
+            cache.lengths, jnp.int32(layer), interpret=True,
+            k_scales=cache.k_scales, v_scales=cache.v_scales)
+        ref = _dense_ref_from_gather(cache, layer, q, k_new, v_new)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        # and the quantization itself is faithful to ~1% of the raw history
+        raw = _dense_ref(layer, k_hist, v_hist, cache.lengths, q, k_new,
+                         v_new)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(raw),
+                                   rtol=0.05, atol=0.05)
+
+
+def test_store_fresh_token_int8_roundtrip():
+    """The quantized store kernel writes value AND scale pages in place;
+    token-by-token decode over them matches the dequantized-gather dense
+    reference (fresh_in_pages causal semantics)."""
+    from v2pe_tpu.ops.paged_attention import store_fresh_token
+
+    cfg = _cfg(L=2)
+    Hkv, hd = cfg.num_key_value_heads, cfg.head_dim
+    cache = pk.PagedKVCache.zeros(cfg, batch=2, n_pages=16, page_size=4,
+                                  max_pages_per_row=6, kv_dtype="int8")
+    rng = np.random.RandomState(5)
+    hist = []
+    for t in range(9):  # crosses page boundaries
+        cache = pk.allocate_rows(cache, jnp.asarray([1, 1], jnp.int32))
+        k_t = jnp.asarray(rng.randn(2, 1, Hkv, hd), jnp.float32)
+        v_t = jnp.asarray(rng.randn(2, 1, Hkv, hd), jnp.float32)
+        hist.append((k_t, v_t))
+        for layer in range(cfg.num_hidden_layers):
+            res = store_fresh_token(
+                k_t * (layer + 1), v_t * (layer + 1), cache.k_pages,
+                cache.v_pages, cache.page_table, cache.lengths,
+                jnp.int32(layer), interpret=True,
+                k_scales=cache.k_scales, v_scales=cache.v_scales)
+            cache = cache._replace(k_pages=res[0], v_pages=res[1],
+                                   k_scales=res[2], v_scales=res[3])
+        cache = pk.advance_lengths(cache, 1)
+
+    for layer in range(cfg.num_hidden_layers):
+        k_g, v_g, valid = pk.gather_row_kv(cache, layer)
+        k_exp = np.concatenate([np.asarray(k) for k, _ in hist], axis=1) \
+            * (layer + 1)
+        np.testing.assert_allclose(np.asarray(k_g[:, :9]), k_exp,
+                                   rtol=0.02, atol=0.02)
+        q = jnp.asarray(rng.randn(2, 1, cfg.num_attention_heads, hd),
+                        jnp.float32)
+        out = paged_decode_attention(
+            q, None, None, cache.k_pages, cache.v_pages, cache.page_table,
+            cache.lengths - 1, jnp.int32(layer), interpret=True,
+            fresh_in_pages=True, k_scales=cache.k_scales,
+            v_scales=cache.v_scales)
+        ref_cache = cache._replace(lengths=cache.lengths)
+        ref = _dense_ref_from_gather(ref_cache, layer, q, None, None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_llm_forward_paged_int8_close():
+    """End-to-end paged prefill + decode with an int8 pool tracks the fp32
+    teacher-forced forward within quantization error."""
+    from v2pe_tpu.core.config import debug_tiny
+    from v2pe_tpu.models.internlm2 import llm_forward
+    from v2pe_tpu.models.params import init_llm_params
+
+    cfg = debug_tiny(vocab_size=300).llm
+    params = init_llm_params(jax.random.PRNGKey(0), cfg)
+    S_prompt, S_total = 21, 27  # >16 prompt: in-scan quantized scatters
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, S_total), 0, 300)
+    pos = jnp.arange(S_total, dtype=jnp.float32)[None]
+    full_logits, _ = llm_forward(params, cfg, input_ids=ids,
+                                 rope_pos_ids=pos, attn_impl="jnp")
+
+    cache = pk.PagedKVCache.zeros(cfg, batch=1, n_pages=16, page_size=4,
+                                  max_pages_per_row=8, kv_dtype="int8")
+    lens = jnp.asarray([S_prompt], jnp.int32)
+    cache = pk.allocate_rows(cache, lens)
+    prefill_logits, cache = llm_forward(
+        params, cfg, input_ids=ids[:, :S_prompt],
+        rope_pos_ids=pos[:, :S_prompt], paged_cache=cache, attn_impl="jnp")
+    cache = cache._replace(lengths=lens)
+    np.testing.assert_allclose(np.asarray(prefill_logits),
+                               np.asarray(full_logits[:, :S_prompt]),
+                               rtol=1e-5, atol=1e-5)  # prompt: no cache read
+    for t in range(S_prompt, S_total):
+        cache = pk.allocate_rows(cache, jnp.asarray([1], jnp.int32))
+        step_logits, cache = llm_forward(
+            params, cfg, input_ids=ids[:, t:t + 1],
+            rope_pos_ids=pos[:, t:t + 1], paged_cache=cache, attn_impl="jnp")
+        cache = pk.advance_lengths(cache, 1)
+        np.testing.assert_allclose(
+            np.asarray(step_logits[:, 0]), np.asarray(full_logits[:, t]),
+            rtol=0.2, atol=0.2, err_msg=f"decode step {t}")
+
+
 def test_generate_paged_matches_dense():
     """Full generate() with cache_mode='paged' reproduces the dense-cache
     token stream exactly — ragged 2-row batch with images."""

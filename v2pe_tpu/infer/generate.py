@@ -32,6 +32,9 @@ class GenerationConfig:
     top_p: float = 1.0
     top_k: int = 0
     eos_token_ids: Tuple[int, ...] = ()
+    num_beams: int = 1           # >1: beam search (infer/beam.py)
+    length_penalty: float = 1.0
+    early_stopping: bool = False
 
 
 def _sample(logits, gc: GenerationConfig, key):
@@ -52,7 +55,8 @@ def _sample(logits, gc: GenerationConfig, key):
 
 
 @partial(jax.jit, static_argnames=("cfg", "gc", "img_context_token_id",
-                                   "attn_impl", "cache_mode", "page_size"))
+                                   "attn_impl", "cache_mode", "page_size",
+                                   "kv_dtype"))
 def generate(
     params,
     cfg: VLMConfig,
@@ -67,6 +71,8 @@ def generate(
     attn_impl: str = "auto",
     cache_mode: str = "dense",   # 'dense' | 'paged'
     page_size: int = 128,
+    kv_dtype: Optional[str] = None,  # 'int8': quantized paged pool (halves
+    # the KV HBM — the >=128k single-chip serving regime)
 ):
     """Greedy/sampling decode.
 
@@ -110,7 +116,7 @@ def generate(
 
         MP = -(-max_len // page_size)
         cache = pk.PagedKVCache.zeros(cfg.llm, B, B * MP + 1, page_size, MP,
-                                      dtype=dtype)
+                                      dtype=dtype, kv_dtype=kv_dtype)
         cache = pk.allocate_rows(cache, prompt_lengths)
         # llm_forward writes pages in place (per-layer scatters on the scan
         # carry for long prompts; the aliased store kernel for tiny ones)

@@ -24,7 +24,7 @@ cache's decode path in models/internlm2.py).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +60,20 @@ class PagedKVCache(NamedTuple):
     page_table: jnp.ndarray
     lengths: jnp.ndarray
     next_page: jnp.ndarray
+    # int8 mode only (kv_dtype="int8"): per-(layer, head, token) fp32
+    # dequantization scales, (L, Hkv, n_pages, 1, page_size) — the page's
+    # token scales live on the LANE (minor) dim. Layout matters twice:
+    # (a) a trailing singleton ((..., ps, 1)) gets lane-padded 128x by
+    # XLA's (8,128) tiling — measured 102 MB of scales ballooning to
+    # 12.19 GiB of HBM at 128k; (b) with tokens on lanes the kernel folds
+    # the scales straight into the (Hkv, R, ps) score matrix (k's before
+    # the softmax, v's into e) with a same-layout broadcast — no page
+    # dequant, no relayout. Halving the KV bytes doubles the decodable
+    # context per chip (the 2B model's bf16 KV is 96 KB/token — 12.6 GB at
+    # 128k, which plus the weights does not fit one v5e; int8 + scales
+    # does) and halves the page DMA traffic of the decode kernel.
+    k_scales: Optional[jnp.ndarray] = None
+    v_scales: Optional[jnp.ndarray] = None
 
     @property
     def page_size(self) -> int:
@@ -73,13 +87,22 @@ class PagedKVCache(NamedTuple):
     def n_shards(self) -> int:
         return self.next_page.shape[0]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scales is not None
+
     @staticmethod
     def zeros(cfg: LLMConfig, batch: int, n_pages: int, page_size: int,
               max_pages_per_row: int, dtype=jnp.bfloat16,
-              n_shards: int = 1) -> "PagedKVCache":
+              n_shards: int = 1, kv_dtype=None) -> "PagedKVCache":
         assert n_pages % n_shards == 0, (n_pages, n_shards)
         shape = (cfg.num_hidden_layers, cfg.num_key_value_heads, n_pages,
                  page_size, cfg.head_dim)
+        quant = kv_dtype == "int8" or kv_dtype == jnp.int8
+        if quant:
+            dtype = jnp.int8
+        elif kv_dtype is not None:
+            dtype = kv_dtype
         # every shard's head starts at local page 1: local page 0 is that
         # shard's null page (see class docstring)
         heads = (jnp.arange(n_shards, dtype=jnp.int32)
@@ -90,7 +113,22 @@ class PagedKVCache(NamedTuple):
             page_table=jnp.full((batch, max_pages_per_row), -1, jnp.int32),
             lengths=jnp.zeros((batch,), jnp.int32),
             next_page=heads.astype(jnp.int32),
+            k_scales=jnp.zeros(shape[:3] + (1, page_size), jnp.float32)
+            if quant else None,
+            v_scales=jnp.zeros(shape[:3] + (1, page_size), jnp.float32)
+            if quant else None,
         )
+
+
+def quantize_kv(x: jnp.ndarray):
+    """Symmetric int8 quantization with a per-vector (last-dim, i.e.
+    per-token-per-head) fp32 scale: returns (int8 values, scales with the
+    last dim kept as a singleton)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def allocate_rows(cache: PagedKVCache, new_lengths: jnp.ndarray
@@ -150,38 +188,56 @@ def write_all_layers(cache: PagedKVCache, k_new: jnp.ndarray,
     if valid_t is not None:
         valid &= jnp.arange(T, dtype=jnp.int32)[None, :] < valid_t[:, None]
 
+    ksc = vsc = None
+    if cache.quantized:
+        k_new, ksc = quantize_kv(k_new)   # scales (L, B, T, Hkv, 1)
+        v_new, vsc = quantize_kv(v_new)
+    sshape = None if not cache.quantized else cache.k_scales.shape
+
     if T == 1:
         # decode fast path: per-row dynamic_update_slice — XLA updates the
         # donated pool IN PLACE (an .at[] scatter copied ~GBs per token)
         idx = jnp.clip(phys[:, 0] * ps + offset[:, 0], 0, NP * ps - 1)
 
-        def upd1(pages, new):
-            flat = pages.reshape(L, Hkv, NP * ps, hd)
+        def upd1(pages, new, width, shape):
+            flat = pages.reshape(L, Hkv, NP * ps, width)
             for b in range(B):
                 val = jnp.swapaxes(new[:, b], 1, 2).astype(flat.dtype)
                 cur = jax.lax.dynamic_slice(
-                    flat, (0, 0, idx[b], 0), (L, Hkv, 1, hd))
+                    flat, (0, 0, idx[b], 0), (L, Hkv, 1, width))
                 val = jnp.where(valid[b, 0], val, cur)
                 flat = jax.lax.dynamic_update_slice(
                     flat, val, (0, 0, idx[b], 0))
-            return flat.reshape(L, Hkv, NP, ps, hd)
+            return flat.reshape(shape)
 
-        return cache._replace(k_pages=upd1(cache.k_pages, k_new),
-                              v_pages=upd1(cache.v_pages, v_new))
+        out = cache._replace(
+            k_pages=upd1(cache.k_pages, k_new, hd, cache.k_pages.shape),
+            v_pages=upd1(cache.v_pages, v_new, hd, cache.v_pages.shape))
+        if cache.quantized:
+            # scale pools are (L, Hkv, NP, 1, ps): same flat token order
+            out = out._replace(
+                k_scales=upd1(cache.k_scales, ksc, 1, sshape),
+                v_scales=upd1(cache.v_scales, vsc, 1, sshape))
+        return out
 
     flat_idx = jnp.where(valid, phys * ps + offset, NP * ps)  # OOB -> drop
     flat_idx = flat_idx.reshape(-1)
 
     # (L, Hkv, NP*ps, hd) flat view; values (L, Hkv, B*T, hd)
-    def scat(pages, new):
-        flat = pages.reshape(L, Hkv, NP * ps, hd)
-        vals = jnp.moveaxis(new, 3, 1).reshape(L, Hkv, B * T, hd)
+    def scat(pages, new, width, shape):
+        flat = pages.reshape(L, Hkv, NP * ps, width)
+        vals = jnp.moveaxis(new, 3, 1).reshape(L, Hkv, B * T, width)
         flat = flat.at[:, :, flat_idx].set(vals.astype(flat.dtype),
                                            mode="drop")
-        return flat.reshape(L, Hkv, NP, ps, hd)
+        return flat.reshape(shape)
 
-    return cache._replace(k_pages=scat(cache.k_pages, k_new),
-                          v_pages=scat(cache.v_pages, v_new))
+    out = cache._replace(
+        k_pages=scat(cache.k_pages, k_new, hd, cache.k_pages.shape),
+        v_pages=scat(cache.v_pages, v_new, hd, cache.v_pages.shape))
+    if cache.quantized:
+        out = out._replace(k_scales=scat(cache.k_scales, ksc, 1, sshape),
+                           v_scales=scat(cache.v_scales, vsc, 1, sshape))
+    return out
 
 
 def write_tokens(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
@@ -196,7 +252,12 @@ def write_tokens(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
     out = write_all_layers(cache, k_all, v_all)
     k_pages = cache.k_pages.at[layer].set(out.k_pages[layer])
     v_pages = cache.v_pages.at[layer].set(out.v_pages[layer])
-    return cache._replace(k_pages=k_pages, v_pages=v_pages)
+    cache = cache._replace(k_pages=k_pages, v_pages=v_pages)
+    if cache.quantized:
+        cache = cache._replace(
+            k_scales=cache.k_scales.at[layer].set(out.k_scales[layer]),
+            v_scales=cache.v_scales.at[layer].set(out.v_scales[layer]))
+    return cache
 
 
 def gather_row_kv(cache: PagedKVCache, layer: int
@@ -211,6 +272,13 @@ def gather_row_kv(cache: PagedKVCache, layer: int
     phys = jnp.maximum(cache.page_table, 0)  # null page for -1 entries
     k = cache.k_pages[layer][:, phys]        # (Hkv, B, MP, ps, hd)
     v = cache.v_pages[layer][:, phys]
+    if cache.quantized:
+        # f32 dequant — exactly what the kernel computes in VMEM. Scale
+        # pools are (Hkv, NP, 1, ps): token scales on the lane dim.
+        ks = cache.k_scales[layer][:, phys, 0]     # (Hkv, B, MP, ps)
+        vs = cache.v_scales[layer][:, phys, 0]
+        k = k.astype(jnp.float32) * ks[..., None]
+        v = v.astype(jnp.float32) * vs[..., None]
     Hkv, hd = k.shape[0], k.shape[-1]
     k = jnp.moveaxis(k, 0, 3).reshape(B, MP * ps, Hkv, hd)
     v = jnp.moveaxis(v, 0, 3).reshape(B, MP * ps, Hkv, hd)

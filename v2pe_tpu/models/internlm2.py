@@ -106,7 +106,7 @@ def attention_forward(
         q, k, v = _qkv_chunked(p, cfg, x, cos, sin, fused_rope)
     else:
         qkv = _dot(x, p["wqkv_kernel"])
-        if cfg.bias:
+        if cfg.bias or cfg.qkv_bias:
             qkv = qkv + p["wqkv_bias"]
         q, k, v = split_wqkv(qkv, cfg)
         if not fused_rope:
@@ -125,36 +125,49 @@ def attention_forward(
             sharded_store_fresh_token, store_fresh_token)
         from v2pe_tpu.parallel import context as pctx
 
-        cache, li, k_pages, v_pages = paged
+        cache, li, k_pages, v_pages = paged[:4]
+        k_sc, v_sc = (paged[4], paged[5]) if len(paged) > 4 else (None, None)
         ctx = pctx.current()
         interp = jax.default_backend() != "tpu"
         if ctx is not None and ctx.seq_shards > 1:
             # page pool sharded over 'seq' (each device owns a page range —
             # the 1M-context layout) composed with kv-head TP
-            k_pages, v_pages = seq_sharded_store_fresh_token(
+            stored = seq_sharded_store_fresh_token(
                 ctx.mesh, ctx.seq_axis, ctx.tensor_axis, k, v, k_pages,
                 v_pages, cache.page_table, cache.lengths, li,
-                interpret=interp)
+                interpret=interp, k_scales=k_sc, v_scales=v_sc)
+            k_pages, v_pages = stored[:2]
+            if k_sc is not None:
+                k_sc, v_sc = stored[2:]
             out = seq_sharded_paged_decode_attention(
                 ctx.mesh, ctx.seq_axis, ctx.tensor_axis, q, None, None,
                 k_pages, v_pages, cache.page_table, cache.lengths, li,
-                interpret=interp, fresh_in_pages=True)
+                interpret=interp, fresh_in_pages=True,
+                k_scales=k_sc, v_scales=v_sc)
         elif ctx is not None:
-            k_pages, v_pages = sharded_store_fresh_token(
+            stored = sharded_store_fresh_token(
                 ctx.mesh, ctx.tensor_axis, k, v, k_pages, v_pages,
-                cache.page_table, cache.lengths, li, interpret=interp)
+                cache.page_table, cache.lengths, li, interpret=interp,
+                k_scales=k_sc, v_scales=v_sc)
+            k_pages, v_pages = stored[:2]
+            if k_sc is not None:
+                k_sc, v_sc = stored[2:]
             out = sharded_paged_decode_attention(
                 ctx.mesh, ctx.tensor_axis, q, None, None, k_pages, v_pages,
                 cache.page_table, cache.lengths, li, interpret=interp,
-                fresh_in_pages=True)
+                fresh_in_pages=True, k_scales=k_sc, v_scales=v_sc)
         else:
-            k_pages, v_pages = store_fresh_token(
+            stored = store_fresh_token(
                 k, v, k_pages, v_pages, cache.page_table, cache.lengths, li,
-                interpret=interp)
+                interpret=interp, k_scales=k_sc, v_scales=v_sc)
+            k_pages, v_pages = stored[:2]
+            if k_sc is not None:
+                k_sc, v_sc = stored[2:]
             out = paged_decode_attention(
                 q, None, None, k_pages, v_pages, cache.page_table,
-                cache.lengths, li, interpret=interp, fresh_in_pages=True)
-        new_cache = (k_pages, v_pages)
+                cache.lengths, li, interpret=interp, fresh_in_pages=True,
+                k_scales=k_sc, v_scales=v_sc)
+        new_cache = (k_pages, v_pages, k_sc, v_sc)
     elif paged is not None and S <= 16:
         # small multi-token step: attention via the kernel's separate-fresh
         # fold; fresh (k, v) go back through ys for the caller's scatter
@@ -171,16 +184,19 @@ def attention_forward(
             out = seq_sharded_paged_decode_attention(
                 ctx.mesh, ctx.seq_axis, ctx.tensor_axis, q, k, v,
                 cache.k_pages, cache.v_pages, cache.page_table,
-                cache.lengths, li, interpret=interp)
+                cache.lengths, li, interpret=interp,
+                k_scales=cache.k_scales, v_scales=cache.v_scales)
         elif ctx is not None:
             out = sharded_paged_decode_attention(
                 ctx.mesh, ctx.tensor_axis, q, k, v, cache.k_pages,
                 cache.v_pages, cache.page_table, cache.lengths, li,
-                interpret=interp)
+                interpret=interp, k_scales=cache.k_scales,
+                v_scales=cache.v_scales)
         else:
             out = paged_decode_attention(
                 q, k, v, cache.k_pages, cache.v_pages, cache.page_table,
-                cache.lengths, li, interpret=interp)
+                cache.lengths, li, interpret=interp,
+                k_scales=cache.k_scales, v_scales=cache.v_scales)
     elif paged is not None:
         # prefill into an empty paged cache: the prompt attends only to
         # itself — plain (segment-masked) flash over the fresh k/v; the
@@ -298,7 +314,7 @@ def _qkv_chunked(p, cfg: LLMConfig, x, cos, sin, fused_rope: bool):
         ci = jax.lax.dynamic_slice(cos, (0, off, 0), (B, c, cos.shape[-1]))
         si = jax.lax.dynamic_slice(sin, (0, off, 0), (B, c, sin.shape[-1]))
         qkv = _dot(xi, p["wqkv_kernel"])
-        if cfg.bias:
+        if cfg.bias or cfg.qkv_bias:
             qkv = qkv + p["wqkv_bias"]
         qi, ki, vi = split_wqkv(qkv, cfg)
         if not fused_rope:
@@ -414,19 +430,29 @@ def llm_forward(
         # layer's fresh k/v in place (input_output_aliases) while
         # attending. Returns the UPDATED PagedKVCache (lengths not yet
         # advanced).
+        quant = paged_cache.quantized
+
         def scan_body(carry, lp):
-            x, kp, vp, li = carry
-            x, (kp, vp) = layer_forward(
+            x, kp, vp, ksc, vsc, li = carry
+            x, (kp, vp, ks, vs) = layer_forward(
                 lp, cfg, x, cos, sin, segment_ids=segment_ids,
                 positions=positions, attn_impl=attn_impl,
-                paged=(paged_cache, li, kp, vp))
-            return (x, kp, vp, li + 1), None
+                paged=(paged_cache, li, kp, vp,
+                       ksc if quant else None, vsc if quant else None))
+            if quant:
+                ksc, vsc = ks, vs
+            return (x, kp, vp, ksc, vsc, li + 1), None
 
-        (x, kp, vp, _), _ = jax.lax.scan(
+        zero = jnp.zeros((), jnp.float32)  # unused carry slot (bf16 mode)
+        (x, kp, vp, ksc, vsc, _), _ = jax.lax.scan(
             scan_body,
-            (x, paged_cache.k_pages, paged_cache.v_pages, jnp.int32(0)),
+            (x, paged_cache.k_pages, paged_cache.v_pages,
+             paged_cache.k_scales if quant else zero,
+             paged_cache.v_scales if quant else zero, jnp.int32(0)),
             params["layers"])
         new_cache = paged_cache._replace(k_pages=kp, v_pages=vp)
+        if quant:
+            new_cache = new_cache._replace(k_scales=ksc, v_scales=vsc)
     elif paged_cache is not None and S <= 16:
         # small multi-token step (possibly onto a NONEMPTY cache): the
         # paged kernel reads the pool per layer, so the pool must stay
@@ -471,29 +497,51 @@ def llm_forward(
         flat_idx = jnp.where(valid_w, phys * ps + pos_w % ps,
                              NP * ps).reshape(-1)  # OOB -> dropped
 
+        quant = paged_cache.quantized
+
         def scan_body(carry, lp):
-            x, kp, vp, li = carry
+            x, kp, vp, ksc, vsc, li = carry
             x, (k_new, v_new) = layer_forward(
                 lp, cfg, x, cos, sin, segment_ids=segment_ids,
                 positions=positions, attn_impl=attn_impl,
                 paged=(paged_cache, li))
+            if quant:
+                from v2pe_tpu.infer.paged_kv import quantize_kv
+
+                k_new, ks = quantize_kv(k_new)   # scales (B, S, Hkv, 1)
+                v_new, vs = quantize_kv(v_new)
+                kss = jnp.moveaxis(ks, 2, 0).reshape(Hkv, B * S, 1)
+                vss = jnp.moveaxis(vs, 2, 0).reshape(Hkv, B * S, 1)
+                ksc = ksc.at[li, :, flat_idx].set(kss.swapaxes(0, 1),
+                                                  mode="drop")
+                vsc = vsc.at[li, :, flat_idx].set(vss.swapaxes(0, 1),
+                                                  mode="drop")
             kv = jnp.moveaxis(k_new, 2, 0).reshape(Hkv, B * S, hd)
             vv = jnp.moveaxis(v_new, 2, 0).reshape(Hkv, B * S, hd)
             kp = kp.at[li, :, flat_idx].set(kv.astype(kp.dtype).swapaxes(0, 1),
                                             mode="drop")
             vp = vp.at[li, :, flat_idx].set(vv.astype(vp.dtype).swapaxes(0, 1),
                                             mode="drop")
-            return (x, kp, vp, li + 1), None
+            return (x, kp, vp, ksc, vsc, li + 1), None
 
-        flat_k = paged_cache.k_pages.reshape(
-            cfg.num_hidden_layers, Hkv, NP * ps, hd)
-        flat_v = paged_cache.v_pages.reshape(
-            cfg.num_hidden_layers, Hkv, NP * ps, hd)
-        (x, kp, vp, _), _ = jax.lax.scan(
-            scan_body, (x, flat_k, flat_v, jnp.int32(0)), params["layers"])
+        L = cfg.num_hidden_layers
+        flat_k = paged_cache.k_pages.reshape(L, Hkv, NP * ps, hd)
+        flat_v = paged_cache.v_pages.reshape(L, Hkv, NP * ps, hd)
+        zero = jnp.zeros((), jnp.float32)
+        flat_ks = paged_cache.k_scales.reshape(L, Hkv, NP * ps, 1) \
+            if quant else zero
+        flat_vs = paged_cache.v_scales.reshape(L, Hkv, NP * ps, 1) \
+            if quant else zero
+        (x, kp, vp, ksc, vsc, _), _ = jax.lax.scan(
+            scan_body, (x, flat_k, flat_v, flat_ks, flat_vs, jnp.int32(0)),
+            params["layers"])
         new_cache = paged_cache._replace(
             k_pages=kp.reshape(paged_cache.k_pages.shape),
             v_pages=vp.reshape(paged_cache.v_pages.shape))
+        if quant:
+            new_cache = new_cache._replace(
+                k_scales=ksc.reshape(paged_cache.k_scales.shape),
+                v_scales=vsc.reshape(paged_cache.v_scales.shape))
     elif kv_cache is None:
         def run_layer(lp, x):
             out, _ = layer_forward(lp, cfg, x, cos, sin,

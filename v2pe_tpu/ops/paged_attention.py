@@ -56,9 +56,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _store_kernel(fp_ref, len_ref, layer_ref,
-                  kn_ref, vn_ref, kfp_ref, vfp_ref,   # inputs
-                  ko_ref, vo_ref,                      # outputs (aliased)
-                  *, page_size: int, Hkv: int):
+                  *refs, page_size: int, Hkv: int, quantized: bool):
+    if quantized:
+        (kn_ref, vn_ref, ksn_ref, vsn_ref, kfp_ref, vfp_ref, ksfp_ref,
+         vsfp_ref, ko_ref, vo_ref, kso_ref, vso_ref) = refs
+    else:
+        kn_ref, vn_ref, kfp_ref, vfp_ref, ko_ref, vo_ref = refs
     b = pl.program_id(0)
     off = len_ref[b] % page_size
     owned = fp_ref[b] >= 0  # seq sharding: another shard holds this page
@@ -69,6 +72,15 @@ def _store_kernel(fp_ref, len_ref, layer_ref,
     vn = vn_ref[0, :, :1].astype(vo_ref.dtype)
     ko_ref[0, :, 0] = jnp.where((sl == off) & owned, kn, kfp_ref[0, :, 0])
     vo_ref[0, :, 0] = jnp.where((sl == off) & owned, vn, vfp_ref[0, :, 0])
+    if quantized:
+        # scale pages are (Hkv, 1, ps): the token slot is the LANE dim
+        ksn = ksn_ref[0, :, :1]                          # (Hkv, 1, 1)
+        vsn = vsn_ref[0, :, :1]
+        ln = jax.lax.broadcasted_iota(jnp.int32, (Hkv, 1, page_size), 2)
+        kso_ref[0, :, 0] = jnp.where((ln == off) & owned, ksn,
+                                     ksfp_ref[0, :, 0])
+        vso_ref[0, :, 0] = jnp.where((ln == off) & owned, vsn,
+                                     vsfp_ref[0, :, 0])
 
 
 def store_fresh_token(
@@ -82,9 +94,14 @@ def store_fresh_token(
     *,
     interpret: bool = False,
     fresh_pages: jnp.ndarray | None = None,  # (B,) page id, -1 = not ours
+    k_scales: jnp.ndarray | None = None,  # (L, Hkv, NP, ps, 1) int8 pools
+    v_scales: jnp.ndarray | None = None,
 ):
-    """Returns (k_pages, v_pages) with the fresh token written at slot
-    ``lengths`` of ``layer`` — in place via input_output_aliases.
+    """Returns (k_pages, v_pages) — plus (k_scales, v_scales) when the pool
+    is int8-quantized — with the fresh token written at slot ``lengths`` of
+    ``layer``, in place via input_output_aliases. int8 mode quantizes the
+    (bf16) fresh k/v here at the jnp level (a (B, Hkv, hd) tensor — trivial)
+    and the kernel writes value page and scale page together.
 
     ``fresh_pages`` overrides the page lookup (sequence sharding passes the
     shard-LOCAL page id, -1 when another shard owns the token's page — the
@@ -92,6 +109,7 @@ def store_fresh_token(
     B = k_new.shape[0]
     L, Hkv, NP, ps, hd = k_pages.shape
     MP = page_table.shape[1]
+    quantized = k_scales is not None
     if fresh_pages is None:
         slot = jnp.minimum(lengths // ps, MP - 1)
         fresh_pages = jnp.take_along_axis(page_table, slot[:, None],
@@ -100,8 +118,16 @@ def store_fresh_token(
     knr = jnp.swapaxes(k_new, 1, 2)  # (B, Hkv, 1, hd)
     vnr = jnp.swapaxes(v_new, 1, 2)
     Tp = 8  # sublane-pad the token dim
-    knr = jnp.pad(knr, ((0, 0), (0, 0), (0, Tp - 1), (0, 0)))
-    vnr = jnp.pad(vnr, ((0, 0), (0, 0), (0, Tp - 1), (0, 0)))
+    pad_t = ((0, 0), (0, 0), (0, Tp - 1), (0, 0))
+    scale_ops, scale_specs = [], []
+    if quantized:
+        from v2pe_tpu.infer.paged_kv import quantize_kv
+
+        knr, ksn = quantize_kv(knr)   # scales (B, Hkv, 1, 1)
+        vnr, vsn = quantize_kv(vnr)
+        scale_ops = [jnp.pad(ksn, pad_t), jnp.pad(vsn, pad_t)]
+    knr = jnp.pad(knr, pad_t)
+    vnr = jnp.pad(vnr, pad_t)
 
     def vec_index(b, *_):
         return (b, 0, 0, 0)
@@ -110,8 +136,21 @@ def store_fresh_token(
         return (lyr[0], 0, jnp.maximum(fp[b], 0), 0, 0)
 
     fresh_spec = pl.BlockSpec((1, Hkv, 1, ps, hd), fresh_page_index)
-    kernel = functools.partial(_store_kernel, page_size=ps, Hkv=Hkv)
-    return pl.pallas_call(
+    sfresh_spec = pl.BlockSpec((1, Hkv, 1, 1, ps), fresh_page_index)
+    if quantized:
+        scale_specs = [pl.BlockSpec((1, Hkv, Tp, 1), vec_index)] * 2
+    kernel = functools.partial(_store_kernel, page_size=ps, Hkv=Hkv,
+                               quantized=quantized)
+    pool_ops = [k_pages, v_pages] + ([k_scales, v_scales] if quantized
+                                     else [])
+    pool_specs = [fresh_spec, fresh_spec] + ([sfresh_spec, sfresh_spec]
+                                             if quantized else [])
+    out_shapes = [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in pool_ops]
+    # operand numbering includes the 3 scalar-prefetch args; the pool
+    # operands start after [knr, vnr(, ksn, vsn)]
+    first_pool = 3 + 2 + (2 if quantized else 0)
+    aliases = {first_pool + i: i for i in range(len(pool_ops))}
+    res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -119,20 +158,22 @@ def store_fresh_token(
             in_specs=[
                 pl.BlockSpec((1, Hkv, Tp, hd), vec_index),
                 pl.BlockSpec((1, Hkv, Tp, hd), vec_index),
-                fresh_spec, fresh_spec,
-            ],
-            out_specs=[fresh_spec, fresh_spec],
+            ] + scale_specs + pool_specs,
+            out_specs=pool_specs,
         ),
-        out_shape=[jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
-                   jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype)],
-        # operand numbering includes the 3 scalar-prefetch args
-        input_output_aliases={5: 0, 6: 1},
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # int8 mode carries 4 extra page-sized blocks (scale pools) +
+            # the widened select intermediates: the default 16 MB scoped
+            # vmem overflows at ps=1024 (measured 21.5 MB)
+            vmem_limit_bytes=(64 * 1024 * 1024) if quantized else None,
         ),
         interpret=interpret,
     )(fresh_pages.astype(jnp.int32), lengths, layer.reshape(1),
-      knr, vnr, k_pages, v_pages)
+      knr, vnr, *scale_ops, *pool_ops)
+    return tuple(res)
 
 
 # ---------------------------------------------------------------------------
@@ -144,7 +185,8 @@ def _attn_kernel(pt_ref, sb_ref, len_ref, fold_ref, layer_ref,  # SMEM
                  *refs,                              # VMEM blocks + scratch
                  page_size: int, T: int, G: int, R: int, Tp: int,
                  Hkv: int, num_pages: int, scale: float,
-                 fresh_in_pages: bool, return_lse: bool):
+                 fresh_in_pages: bool, return_lse: bool,
+                 quantized: bool = False):
     if fresh_in_pages:
         q_ref, kp_ref, vp_ref = refs[:3]
         kn_ref = vn_ref = None
@@ -152,6 +194,11 @@ def _attn_kernel(pt_ref, sb_ref, len_ref, fold_ref, layer_ref,  # SMEM
     else:
         q_ref, kn_ref, vn_ref, kp_ref, vp_ref = refs[:5]
         rest = refs[5:]
+    if quantized:
+        ksp_ref, vsp_ref = rest[:2]
+        rest = rest[2:]
+    else:
+        ksp_ref = vsp_ref = None
     if return_lse:
         out_ref, lse_ref, acc_ref, m_ref, l_ref = rest
     else:
@@ -167,9 +214,11 @@ def _attn_kernel(pt_ref, sb_ref, len_ref, fold_ref, layer_ref,  # SMEM
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    def _online(s, mask, v):
+    def _online(s, mask, v, v_scale=None):
         """Fold (Hkv, R, cols) scores + (Hkv, cols, hd) values into the
-        scratch online-softmax state."""
+        scratch online-softmax state. ``v_scale`` (Hkv, 1, cols): int8-v
+        dequant folded into e (softmax weights are per-kv-column, so the
+        scale commutes into the pv matmul)."""
         s = jnp.where(mask, s, NEG_INF)
         m_prev, l_prev = m_ref[..., :1], l_ref[..., :1]     # (Hkv, R, 1)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -177,6 +226,8 @@ def _attn_kernel(pt_ref, sb_ref, len_ref, fold_ref, layer_ref,  # SMEM
         corr = jnp.exp(m_prev - m_new)
         l_ref[...] = jnp.broadcast_to(
             l_prev * corr + jnp.sum(e, axis=-1, keepdims=True), l_ref.shape)
+        if v_scale is not None:
+            e = e * v_scale
         pv = jax.lax.dot_general(
             e, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)             # (Hkv, R, hd)
@@ -196,9 +247,20 @@ def _attn_kernel(pt_ref, sb_ref, len_ref, fold_ref, layer_ref,  # SMEM
     def _page():
         q = q_ref[0].astype(jnp.float32) * scale            # (Hkv, R, hd)
         k = kp_ref[0, :, 0].astype(jnp.float32)             # (Hkv, ps, hd)
+        v = vp_ref[0, :, 0].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)             # (Hkv, R, ps)
+        v_scale = None
+        if quantized:
+            # int8 dequant folded into the score matrix: scale pages are
+            # (Hkv, 1, ps) — per-token scales already on the lane dim of s,
+            # so both multiplies are O(R*ps) broadcasts (the page itself is
+            # never dequantized; its DMA — the decode bottleneck — was
+            # half-width int8). k's scale applies before the softmax, v's
+            # rides into e inside _online.
+            s = s * ksp_ref[0, :, 0]
+            v_scale = vsp_ref[0, :, 0]
         slot = sb + jax.lax.broadcasted_iota(
             jnp.int32, (Hkv, R, page_size), 2)
         if fresh_in_pages:
@@ -207,7 +269,7 @@ def _attn_kernel(pt_ref, sb_ref, len_ref, fold_ref, layer_ref,  # SMEM
             mask = slot <= length + t_row
         else:
             mask = slot < length
-        _online(s, mask, vp_ref[0, :, 0].astype(jnp.float32))
+        _online(s, mask, v, v_scale)
 
     # ---- final step: fold separate fresh tokens (when not paged yet and
     # this shard is the designated folder), then normalize and write out
@@ -252,6 +314,8 @@ def paged_decode_attention(
     slot_base: jnp.ndarray | None = None,  # (B, MP') global slot starts
     fold_fresh: jnp.ndarray | None = None,  # () int32 gate (default 1)
     return_lse: bool = False,
+    k_scales: jnp.ndarray | None = None,  # (L, Hkv, NP, ps, 1): int8 pools
+    v_scales: jnp.ndarray | None = None,
 ):
     """Returns (B, T, Hq, hd): attention of the fresh queries over their
     row's paged history plus the fresh tokens themselves (causal). With
@@ -296,10 +360,11 @@ def paged_decode_attention(
     def page_index(b, j, pt, sb, lens, fold, lyr):
         return (lyr[0], 0, jnp.maximum(pt[b, j], 0), 0, 0)
 
+    quantized = k_scales is not None
     kernel = functools.partial(
         _attn_kernel, page_size=ps, T=T, G=G, R=R, Tp=Tp, Hkv=Hkv,
         num_pages=MP, scale=float(scale), fresh_in_pages=fresh_in_pages,
-        return_lse=return_lse)
+        return_lse=return_lse, quantized=quantized)
 
     page_spec = pl.BlockSpec((1, Hkv, 1, ps, hd), page_index)
     operands = [page_table, slot_base.astype(jnp.int32), lengths,
@@ -315,6 +380,10 @@ def paged_decode_attention(
         in_specs += [pl.BlockSpec((1, Hkv, Tp, hd), vec_index)] * 2
     operands += [k_pages, v_pages]
     in_specs += [page_spec, page_spec]
+    if quantized:
+        spage_spec = pl.BlockSpec((1, Hkv, 1, 1, ps), page_index)
+        operands += [k_scales, v_scales]
+        in_specs += [spage_spec, spage_spec]
 
     out_specs = [pl.BlockSpec((1, Hkv, R, hd), vec_index)]
     out_shapes = [jax.ShapeDtypeStruct((B, Hkv, R, hd), q.dtype)]
@@ -338,6 +407,7 @@ def paged_decode_attention(
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=(64 * 1024 * 1024) if quantized else None,
         ),
         interpret=interpret,
     )(*operands)
@@ -367,15 +437,31 @@ def _tp_specs(tensor_axis):
 
 def sharded_store_fresh_token(mesh, tensor_axis, k_new, v_new, k_pages,
                               v_pages, page_table, lengths, layer, *,
-                              interpret=False):
+                              interpret=False, k_scales=None, v_scales=None):
     import functools as ft
 
     nt = mesh.shape[tensor_axis]
     Hkv = k_pages.shape[1]
+    quantized = k_scales is not None
     if nt == 1 or Hkv % nt != 0:
         return store_fresh_token(k_new, v_new, k_pages, v_pages, page_table,
-                                 lengths, layer, interpret=interpret)
+                                 lengths, layer, interpret=interpret,
+                                 k_scales=k_scales, v_scales=v_scales)
     hspec, pspec, tspec, lspec, sspec = _tp_specs(tensor_axis)
+    if quantized:
+        def fn(k_new, v_new, kp, vp, pt, lens, lyr, ks, vs):
+            return store_fresh_token(k_new, v_new, kp, vp, pt, lens, lyr,
+                                     interpret=interpret, k_scales=ks,
+                                     v_scales=vs)
+
+        return jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(hspec, hspec, pspec, pspec, tspec, lspec, sspec,
+                      pspec, pspec),
+            out_specs=(pspec, pspec, pspec, pspec),
+            check_vma=False,
+        )(k_new, v_new, k_pages, v_pages, page_table, lengths, layer,
+          k_scales, v_scales)
     fn = ft.partial(store_fresh_token, interpret=interpret)
     return jax.shard_map(
         fn, mesh=mesh,
@@ -389,45 +475,56 @@ def sharded_paged_decode_attention(
     mesh, tensor_axis: str,
     q, k_new, v_new, k_pages, v_pages, page_table, lengths, layer, *,
     scale: float | None = None, interpret: bool = False,
-    fresh_in_pages: bool = False,
+    fresh_in_pages: bool = False, k_scales=None, v_scales=None,
 ):
     """TP decode: pallas_call doesn't auto-partition under GSPMD, so the
     kernels run inside shard_map with the pool and heads sharded over the
     ``tensor`` mesh axis (kv-head dim — GQA groups stay intact per shard);
     page table and lengths are replicated. Embarrassingly parallel: no
     collectives — each shard holds its heads' full pages."""
-    import functools as ft
-
     nt = mesh.shape[tensor_axis]
     Hkv = k_pages.shape[1]
+    quantized = k_scales is not None
     if nt == 1 or Hkv % nt != 0:
         return paged_decode_attention(q, k_new, v_new, k_pages, v_pages,
                                       page_table, lengths, layer,
                                       scale=scale, interpret=interpret,
-                                      fresh_in_pages=fresh_in_pages)
+                                      fresh_in_pages=fresh_in_pages,
+                                      k_scales=k_scales, v_scales=v_scales)
 
     hspec, pspec, tspec, lspec, sspec = _tp_specs(tensor_axis)
+    sc_args = (k_scales, v_scales) if quantized else ()
+    sc_specs = (pspec, pspec) if quantized else ()
     if fresh_in_pages:
-        fn = ft.partial(paged_decode_attention, scale=scale,
-                        interpret=interpret, fresh_in_pages=True)
-
-        def call(q, kp, vp, pt, ln, lyr):
-            return fn(q, None, None, kp, vp, pt, ln, lyr)
+        def call(q, kp, vp, pt, ln, lyr, *sc):
+            return paged_decode_attention(
+                q, None, None, kp, vp, pt, ln, lyr, scale=scale,
+                interpret=interpret, fresh_in_pages=True,
+                k_scales=sc[0] if sc else None,
+                v_scales=sc[1] if sc else None)
 
         return jax.shard_map(
             call, mesh=mesh,
-            in_specs=(hspec, pspec, pspec, tspec, lspec, sspec),
+            in_specs=(hspec, pspec, pspec, tspec, lspec, sspec) + sc_specs,
             out_specs=hspec,
             check_vma=False,
-        )(q, k_pages, v_pages, page_table, lengths, layer)
+        )(q, k_pages, v_pages, page_table, lengths, layer, *sc_args)
 
-    fn = ft.partial(paged_decode_attention, scale=scale, interpret=interpret)
+    def call(q, k_new, v_new, kp, vp, pt, ln, lyr, *sc):
+        return paged_decode_attention(
+            q, k_new, v_new, kp, vp, pt, ln, lyr, scale=scale,
+            interpret=interpret,
+            k_scales=sc[0] if sc else None,
+            v_scales=sc[1] if sc else None)
+
     return jax.shard_map(
-        fn, mesh=mesh,
-        in_specs=(hspec, hspec, hspec, pspec, pspec, tspec, lspec, sspec),
+        call, mesh=mesh,
+        in_specs=(hspec, hspec, hspec, pspec, pspec, tspec, lspec,
+                  sspec) + sc_specs,
         out_specs=hspec,
         check_vma=False,
-    )(q, k_new, v_new, k_pages, v_pages, page_table, lengths, layer)
+    )(q, k_new, v_new, k_pages, v_pages, page_table, lengths, layer,
+      *sc_args)
 
 
 # ---------------------------------------------------------------------------
@@ -457,7 +554,8 @@ def _local_page_view(page_table, seq_axis: str, n_seq: int, NP: int):
 
 def seq_sharded_store_fresh_token(
         mesh, seq_axis: str, tensor_axis, k_new, v_new, k_pages, v_pages,
-        page_table, lengths, layer, *, interpret: bool = False):
+        page_table, lengths, layer, *, interpret: bool = False,
+        k_scales=None, v_scales=None):
     """Store the fresh token into whichever shard owns its page. The pool
     is sharded (NP over ``seq``; optionally Hkv over ``tensor``); only the
     owning shard's store kernel writes (others no-op on their page 0)."""
@@ -470,30 +568,37 @@ def seq_sharded_store_fresh_token(
     NP = k_pages.shape[2]
     ps = k_pages.shape[3]
     NPl = NP // n_seq
+    quantized = k_scales is not None
 
-    def body(k_new, v_new, kp, vp, pt, lens, lyr):
+    def body(k_new, v_new, kp, vp, pt, lens, lyr, *sc):
         d = jax.lax.axis_index(seq_axis)
         slot = jnp.minimum(lens // ps, pt.shape[1] - 1)
         phys = jnp.take_along_axis(pt, slot[:, None], axis=1)[:, 0]
         owned = (phys >= d * NPl) & (phys < (d + 1) * NPl)
         fp = jnp.where(owned, phys - d * NPl, -1)
         return store_fresh_token(k_new, v_new, kp, vp, pt, lens, lyr,
-                                 interpret=interpret, fresh_pages=fp)
+                                 interpret=interpret, fresh_pages=fp,
+                                 k_scales=sc[0] if sc else None,
+                                 v_scales=sc[1] if sc else None)
 
     hspec = P(None, None, head_ax, None)
     pspec = P(None, head_ax, seq_axis, None, None)
+    sc_args = (k_scales, v_scales) if quantized else ()
+    sc_specs = (pspec, pspec) if quantized else ()
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(hspec, hspec, pspec, pspec, P(None, None), P(None), P()),
-        out_specs=(pspec, pspec),
+        in_specs=(hspec, hspec, pspec, pspec, P(None, None), P(None),
+                  P()) + sc_specs,
+        out_specs=(pspec, pspec) + sc_specs,
         check_vma=False,
-    )(k_new, v_new, k_pages, v_pages, page_table, lengths, layer)
+    )(k_new, v_new, k_pages, v_pages, page_table, lengths, layer, *sc_args)
 
 
 def seq_sharded_paged_decode_attention(
         mesh, seq_axis: str, tensor_axis, q, k_new, v_new, k_pages, v_pages,
         page_table, lengths, layer, *, scale: float | None = None,
-        interpret: bool = False, fresh_in_pages: bool = False):
+        interpret: bool = False, fresh_in_pages: bool = False,
+        k_scales=None, v_scales=None):
     """Decode attention over a page pool sharded on the ``seq`` mesh axis
     (each shard owns NP/n physical pages — the 1M-context serving layout,
     SURVEY §7's KV-cache north star), composable with kv-head ``tensor``
@@ -509,7 +614,8 @@ def seq_sharded_paged_decode_attention(
         return sharded_paged_decode_attention(
             mesh, tensor_axis, q, k_new, v_new, k_pages, v_pages,
             page_table, lengths, layer, scale=scale, interpret=interpret,
-            fresh_in_pages=fresh_in_pages)
+            fresh_in_pages=fresh_in_pages, k_scales=k_scales,
+            v_scales=v_scales)
     nt = mesh.shape[tensor_axis] if tensor_axis else 1
     Hkv = k_pages.shape[1]
     Hq = q.shape[2]
@@ -517,15 +623,18 @@ def seq_sharded_paged_decode_attention(
                               and Hq % nt == 0) else None
     NP = k_pages.shape[2]
     ps = k_pages.shape[3]
+    quantized = k_scales is not None
 
-    def body(q, k_new, v_new, kp, vp, pt, lens, lyr):
+    def body(q, k_new, v_new, kp, vp, pt, lens, lyr, *sc):
         pt_l, slot_idx, d = _local_page_view(pt, seq_axis, n_seq, NP)
         sb = jnp.where(slot_idx >= 0, slot_idx * ps, -1)
         fold = (d == 0).astype(jnp.int32)
         out, lse = paged_decode_attention(
             q, k_new, v_new, kp, vp, pt_l, lens, lyr, scale=scale,
             interpret=interpret, fresh_in_pages=fresh_in_pages,
-            slot_base=sb, fold_fresh=fold, return_lse=True)
+            slot_base=sb, fold_fresh=fold, return_lse=True,
+            k_scales=sc[0] if sc else None,
+            v_scales=sc[1] if sc else None)
         # logsumexp merge across shards (all-masked shards carry -inf)
         m = jax.lax.pmax(lse, seq_axis)                     # (B, Hq, T)
         w = jnp.exp(lse - m)
@@ -538,21 +647,25 @@ def seq_sharded_paged_decode_attention(
 
     hspec = P(None, None, head_ax, None)
     pspec = P(None, head_ax, seq_axis, None, None)
+    sc_args = (k_scales, v_scales) if quantized else ()
+    sc_specs = (pspec, pspec) if quantized else ()
     if fresh_in_pages:
-        def call(q, kp, vp, pt, lens, lyr):
-            return body(q, None, None, kp, vp, pt, lens, lyr)
+        def call(q, kp, vp, pt, lens, lyr, *sc):
+            return body(q, None, None, kp, vp, pt, lens, lyr, *sc)
 
         return jax.shard_map(
             call, mesh=mesh,
-            in_specs=(hspec, pspec, pspec, P(None, None), P(None), P()),
+            in_specs=(hspec, pspec, pspec, P(None, None), P(None),
+                      P()) + sc_specs,
             out_specs=hspec,
             check_vma=False,
-        )(q, k_pages, v_pages, page_table, lengths, layer)
+        )(q, k_pages, v_pages, page_table, lengths, layer, *sc_args)
 
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(hspec, hspec, hspec, pspec, pspec, P(None, None), P(None),
-                  P()),
+                  P()) + sc_specs,
         out_specs=hspec,
         check_vma=False,
-    )(q, k_new, v_new, k_pages, v_pages, page_table, lengths, layer)
+    )(q, k_new, v_new, k_pages, v_pages, page_table, lengths, layer,
+      *sc_args)
