@@ -14,6 +14,7 @@ Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extras": {...}}
 """
 
+import functools
 import glob
 import json
 import os
@@ -106,8 +107,136 @@ def _ttft_prefill(jax, jnp, cfg, params, batch, internvl_chat, internlm2):
     return S / dt, dt
 
 
+def _ttft_prefill_slabbed(jax, jnp, cfg, params, batch, internvl_chat,
+                          internlm2, n_slabs: int = 3):
+    """256k-class TTFT prefill split into layer slabs across several jit
+    calls: the tunnel's TPU worker kills any single XLA program running
+    ≳60 s wall-clock (measured: 192k/24-layer at 50 s survives, 224k/24
+    crashes, 256k/12 at ~45 s survives, 256k/24 crashes — temp memory is
+    9.2 GiB at 256k either way, well under HBM). Hidden states stay on
+    device between calls; one slab program compiles once and runs for
+    every slab (identical shapes). On production (non-tunneled) TPUs the
+    single-program path works to the same sizes."""
+    from v2pe_tpu.ops.norms import rms_norm
+    from v2pe_tpu.ops.rope import compute_rope_cos_sin
+
+    lcfg = cfg.llm
+    assert lcfg.rope_mode == "v2pe", lcfg.rope_mode
+    L = lcfg.num_hidden_layers
+    assert L % n_slabs == 0
+    per = L // n_slabs
+    theta = float(lcfg.rope_theta)
+    S = batch["input_ids"].shape[1]
+
+    @jax.jit
+    def head_call(params, batch, pixel_values):
+        llm = params["llm"]
+        embeds = llm["tok_embeddings"][batch["input_ids"]]
+        vit = internvl_chat.extract_feature(params, cfg, pixel_values)
+        embeds = internvl_chat.scatter_image_embeds_by_index(
+            embeds, vit, batch["vit_gather_idx"])
+        pos = batch["rope_pos_ids"].astype(jnp.float32)
+        cos, sin = compute_rope_cos_sin(pos, lcfg.head_dim, theta)
+        return embeds, cos, sin, pos
+
+    @jax.jit
+    def slab_call(slab_params, x, cos, sin, seg, rope_ids):
+        def body(x, lp):
+            x, _ = internlm2.layer_forward(
+                lp, lcfg, x, cos, sin, segment_ids=seg, positions=None,
+                attn_impl="pallas", rope_pack=(rope_ids, theta))
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, slab_params)
+        return x
+
+    @jax.jit
+    def tail_call(params, x):
+        llm = params["llm"]
+        x = rms_norm(x, llm["norm"], lcfg.rms_norm_eps)
+        return jnp.dot(x[:, -1:], llm["output_kernel"],
+                       preferred_element_type=jnp.float32)[:, 0, :8].sum()
+
+    # slice the slab params ONCE: re-slicing inside the timed run dispatches
+    # ~30 eager device ops per run through the tunnel and measured 583 s
+    # instead of the true 90.6 s at 256k (per-slab probe 2026-08-17)
+    sps = [{k: v[s * per:(s + 1) * per]
+            for k, v in params["llm"]["layers"].items()}
+           for s in range(n_slabs)]
+
+    def run():
+        x, cos, sin, pos = head_call(params, batch, batch["pixel_values"])
+        seg = batch["segment_ids"]
+        for s in range(n_slabs):
+            x = slab_call(sps[s], x, cos, sin, seg, pos)
+        return float(tail_call(params, x))
+
+    run()  # compile all three programs (head ~370 s worker-side at 256k)
+    t0 = time.perf_counter()
+    run()
+    dt = time.perf_counter() - t0 - 2 * RTT
+    return S / dt, dt
+
+
+def _kernel_tflops(jax, jnp, cfg):
+    """Per-kernel effective TFLOP/s (VERDICT: make kernel-level progress
+    visible): the LLM flash forward at 8k and the ViT 1025-token
+    single-block tile attention, each timed bare with an in-jit loop."""
+    from v2pe_tpu.ops.attention import flash_attention
+
+    out = {}
+    ITERS = 16
+    lcfg = cfg.llm
+    S, Hq, Hkv, D = 8192, lcfg.num_attention_heads, \
+        lcfg.num_key_value_heads, lcfg.head_dim
+    q = jnp.zeros((1, S, Hq, D), jnp.bfloat16)
+    k = jnp.zeros((1, S, Hkv, D), jnp.bfloat16)
+    v = jnp.zeros((1, S, Hkv, D), jnp.bfloat16)
+
+    @jax.jit
+    def llm_loop(q, k, v):
+        def body(i, acc):
+            o = flash_attention(q + acc * 1e-12, k, v, causal=True,
+                                impl="pallas")
+            return o[0, -1, 0, 0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
+
+    float(llm_loop(q, k, v))
+    t0 = time.perf_counter()
+    float(llm_loop(q, k, v))
+    dt = (time.perf_counter() - t0 - RTT) / ITERS
+    # causal flash: 2 matmuls, S^2/2 live pairs, 2 flops per MAC
+    flops = 2 * 2 * (S * S / 2) * D * Hq
+    out["kernel_llm_flash_8k_tflops"] = round(flops / dt / 1e12, 1)
+
+    vcfg = cfg.vision
+    T, Hv, Dv = 1025, vcfg.num_attention_heads, \
+        vcfg.hidden_size // vcfg.num_attention_heads
+    B = 32  # tile batch
+    qv = jnp.zeros((B, T, Hv, Dv), jnp.bfloat16)
+
+    @jax.jit
+    def vit_loop(qv):
+        def body(i, acc):
+            o = flash_attention(qv + acc * 1e-12, qv, qv, causal=False,
+                                impl="pallas")
+            return o[0, -1, 0, 0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
+
+    float(vit_loop(qv))
+    t0 = time.perf_counter()
+    float(vit_loop(qv))
+    dt = (time.perf_counter() - t0 - RTT) / ITERS
+    flops = 2 * 2 * B * T * T * Dv * Hv
+    out["kernel_vit_tile_attn_tflops"] = round(flops / dt / 1e12, 1)
+    return out
+
+
 def _decode_bench(jax, jnp, cfg, params, ctx_len: int, paged: bool,
-                  n_tokens: int = 32, page_size: int = 1024):
+                  n_tokens: int = 32, page_size: int = 1024,
+                  kv_dtype=None):
     """Steady-state decode tok/s at a given context (text-only row; the
     cache dominates, the prompt content doesn't matter)."""
     from v2pe_tpu.models import internlm2
@@ -116,7 +245,9 @@ def _decode_bench(jax, jnp, cfg, params, ctx_len: int, paged: bool,
     llm = params["llm"]
     dtype = llm["tok_embeddings"].dtype
     B = 1
-    max_len = ctx_len + n_tokens + 8
+    # 2x n_tokens: the timed call decodes ANOTHER n_tokens onto the same
+    # (donated, rethreaded) cache after the compile call's batch
+    max_len = ctx_len + 2 * n_tokens + 8
 
     ids = jnp.zeros((B, ctx_len), jnp.int32)
     pos = jnp.broadcast_to(jnp.arange(ctx_len, dtype=jnp.float32),
@@ -128,20 +259,30 @@ def _decode_bench(jax, jnp, cfg, params, ctx_len: int, paged: bool,
 
         @jax.jit
         def prefill(params, ids, pos):
-            # pool created INSIDE jit: a host-side zeros pool would be
-            # captured as a multi-GB lowering constant
+            # synthetic fill — pool stays zeros (pages allocated, lengths
+            # set): decode timing is data-independent on TPU, and this
+            # skips the long-context prefill compile that used to dominate
+            # each decode datapoint's bench wall-clock. Pool created INSIDE
+            # jit (a host-side zeros pool would be captured as a multi-GB
+            # lowering constant).
             cache = pk.PagedKVCache.zeros(cfg.llm, B, B * MP + 1, page_size,
-                                          MP, dtype=dtype)
+                                          MP, dtype=dtype,
+                                          kv_dtype=kv_dtype)
             cache = pk.allocate_rows(
                 cache, jnp.full((B,), ctx_len, jnp.int32))
-            hidden, cache = internlm2.llm_forward(
-                params["llm"], cfg.llm, input_ids=ids, rope_pos_ids=pos,
-                paged_cache=cache, return_hidden=True)
             cache = cache._replace(
                 lengths=jnp.full((B,), ctx_len, jnp.int32))
+            if cache.quantized:
+                cache = cache._replace(
+                    k_scales=jnp.ones_like(cache.k_scales),
+                    v_scales=jnp.ones_like(cache.v_scales))
             return cache
 
-        @jax.jit
+        # the cache is DONATED and rethreaded between calls: without
+        # donation XLA inserts a defensive copy of both pools at program
+        # entry (the aliased store kernel writes them in place but the
+        # caller's buffers must survive) — +6.1 GB at 128k int8, an OOM
+        @functools.partial(jax.jit, donate_argnums=(1,))
         def decode_n(params, cache, tok):
             def body(i, state):
                 cache, tok = state
@@ -155,13 +296,15 @@ def _decode_bench(jax, jnp, cfg, params, ctx_len: int, paged: bool,
                 return cache, jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
 
             cache, tok = jax.lax.fori_loop(0, n_tokens, body, (cache, tok))
-            return tok
+            return cache, tok
 
         cache = prefill(params, ids, pos)
         tok = jnp.zeros((B,), jnp.int32)
-        int(decode_n(params, cache, tok)[0])  # compile
+        cache, tok = decode_n(params, cache, tok)  # compile
+        int(tok[0])
         t0 = time.perf_counter()
-        int(decode_n(params, cache, tok)[0])
+        cache, tok = decode_n(params, cache, tok)
+        int(tok[0])
         dt = time.perf_counter() - t0 - RTT
         return n_tokens / dt
 
@@ -229,24 +372,47 @@ def main():
         extras["prefill_ttftpath_tok_s_32k_32tiles"] = round(tp32, 1)
         extras["ttft_s_32k_32tiles"] = round(ttft32, 3)
         del batch32k
-        if os.environ.get("V2PE_BENCH_128K"):
-            # opt-in: the 128k compile alone takes ~15+ min on this box
-            # (measured 2026-08-17: 5,366 tok/s, TTFT 24.4 s, 5.1 GB temp)
+    except Exception as e:  # never lose the headline to an extra
+        extras["prefill_32k_error"] = repr(e)[:200]
+    if not os.environ.get("V2PE_BENCH_SKIP_128K"):
+        try:
             b128 = mkbatch(131072, 64)
             tp128, ttft128 = _ttft_prefill(jax, jnp, cfg, params, b128,
                                            internvl_chat, internlm2)
             extras["prefill_ttftpath_tok_s_128k_64tiles"] = round(tp128, 1)
             extras["ttft_s_128k_64tiles"] = round(ttft128, 3)
             del b128
-    except Exception as e:  # never lose the headline to an extra
-        extras["prefill_32k_error"] = repr(e)[:200]
+        except Exception as e:
+            extras["prefill_128k_error"] = repr(e)[:200]
+    if not os.environ.get("V2PE_BENCH_SKIP_256K"):
+        try:
+            b256 = mkbatch(262144, 64)
+            tp256, ttft256 = _ttft_prefill_slabbed(
+                jax, jnp, cfg, params, b256, internvl_chat, internlm2)
+            extras["prefill_ttftpath_tok_s_256k_64tiles"] = round(tp256, 1)
+            extras["ttft_s_256k_64tiles"] = round(ttft256, 3)
+            del b256
+        except Exception as e:
+            extras["prefill_256k_error"] = repr(e)[:200]
     try:
         extras["decode_tok_s_8k_dense"] = round(
             _decode_bench(jax, jnp, cfg, params, 8192, paged=False), 1)
         extras["decode_tok_s_32k_paged"] = round(
             _decode_bench(jax, jnp, cfg, params, 32768, paged=True), 1)
+        # 64k = the largest bf16 page pool + weights that fit one chip's
+        # HBM (96 KB/token x 64k = 6.3 GB pool); 128k decodes via the int8
+        # pool (48 KB/token + 3% scales — the quantized-KV serving regime)
+        extras["decode_tok_s_64k_paged"] = round(
+            _decode_bench(jax, jnp, cfg, params, 65536, paged=True), 1)
+        extras["decode_tok_s_128k_paged_int8"] = round(
+            _decode_bench(jax, jnp, cfg, params, 131072, paged=True,
+                          kv_dtype="int8"), 1)
     except Exception as e:
         extras["decode_error"] = repr(e)[:200]
+    try:
+        extras.update(_kernel_tflops(jax, jnp, cfg))
+    except Exception as e:
+        extras["kernel_tflops_error"] = repr(e)[:200]
 
     metric = f"prefill_tokens_per_sec_{SEQ_LEN // 1024}k_{TILES}tiles"
     prev = _prev_value(metric)
