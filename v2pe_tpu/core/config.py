@@ -60,12 +60,22 @@ class VisionConfig:
 
 @dataclass(frozen=True)
 class LLMConfig:
-    """InternLM2 decoder config.
+    """Decoder config (InternLM2 defaults; ``arch`` selects the family).
 
     Reference: ``internvl/model/internlm2/configuration_internlm2.py:77-152``.
     Defaults are the InternLM2-1.8B (chat) instance used by InternVL2-2B.
+
+    ``arch='qwen2'`` mirrors the reference's composite-LLM dispatch
+    (``modeling_internvl_chat.py:108-117``): Qwen2 shares this decoder's
+    entire compute path — its separate q/k/v projections are repacked into
+    the fused interleaved ``wqkv`` layout at conversion time (the GQA
+    q-head -> kv-head mapping ``h // G`` is identical), with
+    ``qkv_bias=True`` (Qwen2 biases q/k/v but not o_proj; the reference's
+    qwen2_packed_training_patch.py cu_seqlens surgery is subsumed by the
+    segment-id flash kernel, which is arch-agnostic).
     """
 
+    arch: str = "internlm2"  # 'internlm2' | 'qwen2'
     vocab_size: int = 92553
     hidden_size: int = 2048
     intermediate_size: int = 8192
@@ -75,7 +85,8 @@ class LLMConfig:
     hidden_act: str = "silu"
     max_position_embeddings: int = 32768
     rms_norm_eps: float = 1e-5
-    bias: bool = False
+    bias: bool = False       # bias on BOTH wqkv and wo (InternLM2 semantics)
+    qkv_bias: bool = False   # bias on wqkv only (Qwen2 semantics)
     rope_theta: float = 1_000_000.0
     # rope_scaling['type'] analogue: 'v2pe' | 'default' | 'linear' | 'dynamic'
     rope_mode: str = "v2pe"

@@ -97,8 +97,9 @@ def init_llm_params(key, cfg: LLMConfig, dtype=jnp.float32) -> dict:
         "w3_kernel": _dense(keys[3], (L, D, I), dtype),
         "w2_kernel": _dense(keys[4], (L, I, D), dtype),
     }
-    if cfg.bias:
+    if cfg.bias or cfg.qkv_bias:
         layers["wqkv_bias"] = jnp.zeros((L, qkv_out), dtype)
+    if cfg.bias:
         layers["wo_bias"] = jnp.zeros((L, D), dtype)
 
     return {
@@ -149,6 +150,70 @@ def _stack(sd: dict, pattern: str, L: int, transform=None):
             t = transform(t)
         out.append(t)
     return np.stack(out)
+
+
+def convert_qwen2_llm(sd: dict, lc, prefix: str = "") -> dict:
+    """Convert an HF Qwen2ForCausalLM state dict into this framework's
+    decoder pytree by REPACKING the separate q/k/v projections into the
+    fused interleaved ``wqkv`` layout (modeling_internvl_chat.py:108-117
+    dispatches Qwen2ForCausalLM; split_wqkv's q-head -> kv-head mapping
+    ``h // G`` equals Qwen2's, so only the weight layout changes — the
+    whole InternLM2 compute path, caches and kernels included, is reused).
+
+    ``prefix``: '' for a bare Qwen2ForCausalLM, 'language_model.' inside an
+    InternVLChatModel state dict."""
+    L = lc.num_hidden_layers
+    Hq, Hkv, hd, D = (lc.num_attention_heads, lc.num_key_value_heads,
+                      lc.head_dim, lc.hidden_size)
+    G = lc.num_key_value_groups
+    qkv_out = (Hq + 2 * Hkv) * hd
+    assert lc.qkv_bias and not lc.bias, \
+        "qwen2 biases q/k/v but not o_proj (set qkv_bias=True, bias=False)"
+
+    def fuse_w(i):
+        q = _np(sd[f"{prefix}model.layers.{i}.self_attn.q_proj.weight"])
+        k = _np(sd[f"{prefix}model.layers.{i}.self_attn.k_proj.weight"])
+        v = _np(sd[f"{prefix}model.layers.{i}.self_attn.v_proj.weight"])
+        w = np.concatenate([q.reshape(Hkv, G, hd, D),
+                            k.reshape(Hkv, 1, hd, D),
+                            v.reshape(Hkv, 1, hd, D)], axis=1)
+        return w.reshape(qkv_out, D).T
+
+    def fuse_b(i):
+        q = _np(sd[f"{prefix}model.layers.{i}.self_attn.q_proj.bias"])
+        k = _np(sd[f"{prefix}model.layers.{i}.self_attn.k_proj.bias"])
+        v = _np(sd[f"{prefix}model.layers.{i}.self_attn.v_proj.bias"])
+        b = np.concatenate([q.reshape(Hkv, G, hd), k.reshape(Hkv, 1, hd),
+                            v.reshape(Hkv, 1, hd)], axis=1)
+        return b.reshape(qkv_out)
+
+    T = np.transpose
+    layers = {
+        "attention_norm": _stack(
+            sd, prefix + "model.layers.{i}.input_layernorm.weight", L),
+        "ffn_norm": _stack(
+            sd, prefix + "model.layers.{i}.post_attention_layernorm.weight",
+            L),
+        "wqkv_kernel": np.stack([fuse_w(i) for i in range(L)]),
+        "wqkv_bias": np.stack([fuse_b(i) for i in range(L)]),
+        "wo_kernel": _stack(
+            sd, prefix + "model.layers.{i}.self_attn.o_proj.weight", L, T),
+        "w1_kernel": _stack(
+            sd, prefix + "model.layers.{i}.mlp.gate_proj.weight", L, T),
+        "w3_kernel": _stack(
+            sd, prefix + "model.layers.{i}.mlp.up_proj.weight", L, T),
+        "w2_kernel": _stack(
+            sd, prefix + "model.layers.{i}.mlp.down_proj.weight", L, T),
+    }
+    embed = _np(sd[f"{prefix}model.embed_tokens.weight"])
+    head_key = f"{prefix}lm_head.weight"
+    output = _np(sd[head_key]).T if head_key in sd else embed.T  # tied
+    return {
+        "tok_embeddings": embed,
+        "layers": layers,
+        "norm": _np(sd[f"{prefix}model.norm.weight"]),
+        "output_kernel": output,
+    }
 
 
 def convert_torch_state_dict(sd: dict, cfg: VLMConfig,
@@ -223,6 +288,18 @@ def convert_torch_state_dict(sd: dict, cfg: VLMConfig,
     }
 
     # ---------------- language model
+    if lc.arch == "qwen2":
+        llm = convert_qwen2_llm(sd, lc, prefix="language_model.")
+        mlp1 = {
+            "ln_weight": _np(sd["mlp1.0.weight"]),
+            "ln_bias": _np(sd["mlp1.0.bias"]),
+            "fc1_kernel": _np(sd["mlp1.1.weight"]).T,
+            "fc1_bias": _np(sd["mlp1.1.bias"]),
+            "fc2_kernel": _np(sd["mlp1.3.weight"]).T,
+            "fc2_bias": _np(sd["mlp1.3.bias"]),
+        }
+        tree = {"vision": vision, "llm": llm, "mlp1": mlp1}
+        return jax.tree.map(lambda a: jnp.asarray(a, dtype), tree)
     L = lc.num_hidden_layers
     llayers = {
         "attention_norm": _stack(

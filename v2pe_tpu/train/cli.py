@@ -32,6 +32,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "random init if omitted")
     p.add_argument("--model_preset", default="internvl2_2b",
                    choices=["internvl2_2b", "internvl2_5_8b", "debug_tiny"])
+    p.add_argument("--llm_arch", default=None,
+                   choices=["internlm2", "qwen2"],
+                   help="override the preset's decoder family (the "
+                        "composite-LLM dispatch of "
+                        "modeling_internvl_chat.py:108-117; qwen2 enables "
+                        "qkv bias and the repacked-wqkv converter)")
     p.add_argument("--tokenizer", required=True,
                    help="HF tokenizer name or path")
     p.add_argument("--dtype", default="bfloat16",
@@ -148,6 +154,12 @@ def main(argv=None):
         chunk_num=args.chunk_num if args.compress_seq else cfg.chunk_num,
         vision=dataclasses.replace(cfg.vision,
                                    drop_path_rate=args.drop_path_rate))
+    if args.llm_arch and args.llm_arch != cfg.llm.arch:
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(
+                cfg.llm, arch=args.llm_arch,
+                qkv_bias=args.llm_arch == "qwen2",
+                bias=False if args.llm_arch == "qwen2" else cfg.llm.bias))
 
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer,
                                               trust_remote_code=True)
