@@ -1,0 +1,128 @@
+"""Beam search vs transformers' beam decoding on a logit-parity model.
+
+Uses the tiny random Qwen2 of test_qwen2.py (exact logit parity with HF) so
+any token divergence is a beam-SEARCH discrepancy, not a model one. Covers
+the reference's SEED-style ``--num-beams`` decoding
+(``eval/seed/evaluate_seed.py:142,264``) and the V2PE beam-safety contract
+(positions shared per row across beams,
+``internvl2_5/model/internlm2/modeling_internlm2.py:293-305``)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from v2pe_tpu.core.config import LLMConfig, VLMConfig, VisionConfig
+from v2pe_tpu.infer.beam import beam_generate
+from v2pe_tpu.infer.generate import GenerationConfig, generate
+from v2pe_tpu.models.params import convert_qwen2_llm, init_vlm_params
+
+
+def _vlm_cfg(lc):
+    return VLMConfig(
+        vision=VisionConfig(hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            image_size=56, patch_size=14),
+        llm=lc)
+
+
+@pytest.fixture(scope="module")
+def qwen2_vlm():
+    import torch
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    lc = LLMConfig(arch="qwen2", vocab_size=500, hidden_size=64,
+                   intermediate_size=128, num_hidden_layers=2,
+                   num_attention_heads=4, num_key_value_heads=2,
+                   bias=False, qkv_bias=True, rope_theta=1_000_000.0,
+                   rms_norm_eps=1e-6, rope_mode="default")
+    hf = Qwen2Config(
+        vocab_size=lc.vocab_size, hidden_size=lc.hidden_size,
+        intermediate_size=lc.intermediate_size,
+        num_hidden_layers=lc.num_hidden_layers,
+        num_attention_heads=lc.num_attention_heads,
+        num_key_value_heads=lc.num_key_value_heads,
+        rope_theta=lc.rope_theta, rms_norm_eps=lc.rms_norm_eps,
+        use_sliding_window=False, tie_word_embeddings=False,
+        attn_implementation="eager")
+    torch.manual_seed(0)
+    model = Qwen2ForCausalLM(hf).eval()
+    cfg = _vlm_cfg(lc)
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    params["llm"] = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32),
+                                 convert_qwen2_llm(model.state_dict(), lc))
+    return cfg, model, params
+
+
+def _run_ours(cfg, params, ids, gc):
+    B, S = ids.shape
+    dummy_px = jnp.zeros((1, 3, 56, 56), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.float32), (B, S))
+    return beam_generate(
+        params, cfg, gc, jnp.asarray(ids), jnp.full((B,), S, jnp.int32),
+        pos, dummy_px, jnp.zeros((1,), jnp.int32), 499, attn_impl="jnp")
+
+
+@pytest.mark.parametrize("num_beams,lp", [(3, 1.0), (2, 0.6), (4, 2.0)])
+def test_beam_matches_hf(qwen2_vlm, num_beams, lp):
+    import torch
+
+    cfg, model, params = qwen2_vlm
+    rng = np.random.RandomState(3)
+    ids = rng.randint(0, 490, (2, 9)).astype(np.int32)
+    eos_id = 7
+    max_new = 8
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.from_numpy(ids).long(), num_beams=num_beams,
+            max_new_tokens=max_new, do_sample=False, eos_token_id=eos_id,
+            pad_token_id=0, length_penalty=lp, early_stopping=False)
+    hf_gen = hf_out[:, ids.shape[1]:].numpy()
+
+    gc = GenerationConfig(max_new_tokens=max_new, eos_token_ids=(eos_id,),
+                          num_beams=num_beams, length_penalty=lp)
+    toks, lens = _run_ours(cfg, params, ids, gc)
+    for b in range(ids.shape[0]):
+        ours = list(np.asarray(toks[b][:int(lens[b])]))
+        ref = list(hf_gen[b])
+        # HF pads after eos with pad_token and includes the eos; ours
+        # excludes the eos from the stored hypothesis
+        if eos_id in ref:
+            ref = ref[:ref.index(eos_id)]
+        assert ours == ref, (b, ours, ref)
+
+
+def test_beam1_matches_greedy(qwen2_vlm):
+    """num_beams=1 without eos reproduces greedy token-for-token."""
+    cfg, _, params = qwen2_vlm
+    rng = np.random.RandomState(5)
+    ids = rng.randint(0, 490, (2, 7)).astype(np.int32)
+    B, S = ids.shape
+    max_new = 6
+    dummy_px = jnp.zeros((1, 3, 56, 56), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.float32), (B, S))
+    g = GenerationConfig(max_new_tokens=max_new)
+    greedy, _, glens = generate(
+        params, cfg, g, jnp.asarray(ids), jnp.full((B,), S, jnp.int32),
+        pos, dummy_px, jnp.zeros((1,), jnp.int32), 499, attn_impl="jnp")
+    gc = GenerationConfig(max_new_tokens=max_new, num_beams=1)
+    toks, lens = _run_ours(cfg, params, ids, gc)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(greedy))
+    assert np.all(np.asarray(lens) == max_new)
+
+
+def test_beam_v2pe_fractional_positions(qwen2_vlm):
+    """Fractional V2PE prompt positions: decode continues at integer stride
+    from the prompt max, identically across beams (the 2.5 fork's
+    beam-safety guard, structural here)."""
+    cfg, _, params = qwen2_vlm
+    ids = np.arange(20, 28, dtype=np.int32)[None]
+    pos = jnp.asarray([[0, 1, 1.25, 1.5, 1.75, 2, 3, 4]], jnp.float32)
+    gc = GenerationConfig(max_new_tokens=4, num_beams=3)
+    toks, lens = beam_generate(
+        params, cfg, gc, jnp.asarray(ids), jnp.asarray([8], jnp.int32),
+        pos, jnp.zeros((1, 3, 56, 56), jnp.float32),
+        jnp.zeros((1,), jnp.int32), 499, attn_impl="jnp")
+    assert toks.shape == (1, 4)
+    assert np.isfinite(np.asarray(lens)).all()

@@ -43,6 +43,9 @@ def build_argparser():
                    help="tile budget per image (-1 = benchmark default: 12, "
                         "or the per-task table for --benchmark vqa)")
     p.add_argument("--max-new-tokens", type=int, default=64)
+    p.add_argument("--num-beams", type=int, default=1,
+                   help="beam search width (the reference's SEED "
+                        "--num-beams, evaluate_seed.py:264)")
     p.add_argument("--rope_pos_id_version", default=None)
     p.add_argument("--rope_pos_id_stride", type=int,
                    default=int(os.environ.get("STRIDE", 0)) or None)
@@ -126,7 +129,8 @@ def main(argv=None):
             rope_pos_id_version=args.rope_pos_id_version,
             rope_pos_id_stride=args.rope_pos_id_stride,
             generation_config=GenerationConfig(
-                max_new_tokens=args.max_new_tokens))
+                max_new_tokens=args.max_new_tokens,
+                num_beams=args.num_beams))
         items = [json.loads(l) for l in open(args.data)]
         out = os.path.join(args.outputs_dir,
                            f"model_{args.task}.rank{args.rank}.jsonl")
@@ -165,7 +169,8 @@ def main(argv=None):
             rope_pos_id_version=args.rope_pos_id_version,
             rope_pos_id_stride=args.rope_pos_id_stride,
             generation_config=GenerationConfig(
-                max_new_tokens=args.max_new_tokens))
+                max_new_tokens=args.max_new_tokens,
+                num_beams=args.num_beams))
         if args.data.endswith(".tsv"):  # mmbench distribution format
             items = mmbench.read_tsv(args.data)
         else:
@@ -202,7 +207,8 @@ def main(argv=None):
             rope_pos_id_version=args.rope_pos_id_version,
             rope_pos_id_stride=args.rope_pos_id_stride,
             generation_config=GenerationConfig(
-                max_new_tokens=args.max_new_tokens))
+                max_new_tokens=args.max_new_tokens,
+                num_beams=args.num_beams))
         items = [json.loads(l) for l in open(args.data)]
         out = os.path.join(args.outputs_dir,
                            f"{args.task}.rank{args.rank}.jsonl")
@@ -232,7 +238,8 @@ def main(argv=None):
         model = load_chat_model(args)
         from v2pe_tpu.infer.generate import GenerationConfig
 
-        gc = GenerationConfig(max_new_tokens=args.max_new_tokens)
+        gc = GenerationConfig(max_new_tokens=args.max_new_tokens,
+                              num_beams=args.num_beams)
         root = args.data_root or os.path.dirname(args.data)
         if args.benchmark == "video":
             infer = video.build_infer_fn(
@@ -299,7 +306,8 @@ def main(argv=None):
             rope_pos_id_version=args.rope_pos_id_version,
             rope_pos_id_stride=args.rope_pos_id_stride,
             generation_config=GenerationConfig(
-                max_new_tokens=args.max_new_tokens))
+                max_new_tokens=args.max_new_tokens,
+                num_beams=args.num_beams))
         items = [json.loads(l) for l in open(args.data)]
         out = os.path.join(args.outputs_dir,
                            f"{args.task}.rank{args.rank}.jsonl")
@@ -328,7 +336,8 @@ def main(argv=None):
             max_tiles=None if vqa_auto_tiles else args.max_num,
             rope_pos_id_version=args.rope_pos_id_version,
             rope_pos_id_stride=args.rope_pos_id_stride,
-            generation_config=GenerationConfig(max_new_tokens=mnt),
+            generation_config=GenerationConfig(max_new_tokens=mnt,
+                num_beams=args.num_beams),
             image_root=args.data_root or "")
         items = [json.loads(l) for l in open(args.data)]
         for it in items:  # runner resumes by 'id'
@@ -361,7 +370,8 @@ def main(argv=None):
             max_tiles=args.max_num,
             rope_pos_id_version=args.rope_pos_id_version,
             rope_pos_id_stride=args.rope_pos_id_stride,
-            generation_config=GenerationConfig(max_new_tokens=mnt))
+            generation_config=GenerationConfig(max_new_tokens=mnt,
+                num_beams=args.num_beams))
         items = [json.loads(l) for l in open(args.data)]
         out = os.path.join(args.outputs_dir,
                            f"result_{task}.rank{args.rank}.jsonl")

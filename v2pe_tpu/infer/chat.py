@@ -127,19 +127,34 @@ class ChatModel:
         else:
             flags = np.ones((pixel_values.shape[0],), np.int32)
 
-        tokens, _, gen_lens = generate(
-            self.params, self.cfg, gc,
-            jnp.asarray(ids[None], jnp.int32),
-            jnp.asarray([len(ids)], jnp.int32),
-            jnp.asarray(pos[None].astype(np.float32)),
-            jnp.asarray(pixel_values,
-                        self.params["llm"]["tok_embeddings"].dtype),
-            jnp.asarray(flags),
-            self.img_context_token_id,
-            attn_impl=self.attn_impl,
-            cache_mode=self.cache_mode,
-            page_size=self.page_size,
-        )
+        if gc.num_beams > 1:
+            from v2pe_tpu.infer.beam import beam_generate
+
+            tokens, gen_lens = beam_generate(
+                self.params, self.cfg, gc,
+                jnp.asarray(ids[None], jnp.int32),
+                jnp.asarray([len(ids)], jnp.int32),
+                jnp.asarray(pos[None].astype(np.float32)),
+                jnp.asarray(pixel_values,
+                            self.params["llm"]["tok_embeddings"].dtype),
+                jnp.asarray(flags),
+                self.img_context_token_id,
+                attn_impl=self.attn_impl,
+            )
+        else:
+            tokens, _, gen_lens = generate(
+                self.params, self.cfg, gc,
+                jnp.asarray(ids[None], jnp.int32),
+                jnp.asarray([len(ids)], jnp.int32),
+                jnp.asarray(pos[None].astype(np.float32)),
+                jnp.asarray(pixel_values,
+                            self.params["llm"]["tok_embeddings"].dtype),
+                jnp.asarray(flags),
+                self.img_context_token_id,
+                attn_impl=self.attn_impl,
+                cache_mode=self.cache_mode,
+                page_size=self.page_size,
+            )
         response = self._decode(np.asarray(tokens[0]),
                                 int(np.asarray(gen_lens)[0]))
         history = list(history or []) + [(question, response)]
