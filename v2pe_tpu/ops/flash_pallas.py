@@ -115,31 +115,56 @@ def _kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)       # (bq, bk)
 
-        # 2D-only index math (TPU Mosaic prefers >=2D iota/broadcasts).
-        seg_q = jnp.swapaxes(seg_q_ref[0], 0, 1)      # (bq, 1)
-        seg_k = seg_k_ref[0]                          # (1, bk)
-        mask = (seg_q == seg_k) & (seg_q != 0)
-        if causal:
-            pos_q = jnp.swapaxes(pos_q_ref[0], 0, 1)  # (bq, 1)
-            pos_k = pos_k_ref[0]                      # (1, bk)
-            mask &= pos_q >= pos_k
+        # Full/boundary block split: the per-element mask build + its two
+        # selects cost ~as much VPU time as the (bq, bk) matmul costs MXU
+        # time, but an interior block of a causal sweep (or any ViT tile
+        # block) needs none of it. Classify the block from O(bq + bk)
+        # scalar reduces of the segment vectors (padding is segment 0, so
+        # ragged tail blocks classify as boundary automatically) plus a
+        # causal bound — program-id arithmetic when positions are arange,
+        # position-vector reduces otherwise (ring shards).
+        seg_qv = seg_q_ref[0]                          # (1, bq)
+        seg_kv = seg_k_ref[0]                          # (1, bk)
+        sq_min, sq_max = jnp.min(seg_qv), jnp.max(seg_qv)
+        sk_min, sk_max = jnp.min(seg_kv), jnp.max(seg_kv)
+        full = (sq_min == sq_max) & (sk_min == sk_max) \
+            & (sq_min == sk_min) & (sq_min != 0)
+        if causal and ordered:
+            full &= i * block_q >= j * block_k + (block_k - 1)
+        elif causal:
+            full &= jnp.min(pos_q_ref[0]) >= jnp.max(pos_k_ref[0])
 
-        s = jnp.where(mask, s, NEG_INF)
         m_prev = m_ref[:, :1]                          # (bq, 1)
         l_prev = l_ref[:, :1]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)     # (bq, 1)
-        m_new = jnp.maximum(m_prev, m_cur)
-        e = jnp.where(mask, jnp.exp(s - m_new), 0.0)   # (bq, bk)
-        corr = jnp.exp(m_prev - m_new)                 # (bq, 1)
-        l_new = l_prev * corr + jnp.sum(e, axis=-1, keepdims=True)
-
         v = v_ref[0, 0].astype(jnp.float32)            # (bk, D)
-        pv = jax.lax.dot_general(
-            e, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (bq, D)
-        acc_ref[...] = acc_ref[...] * corr + pv
-        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+        def _update(sm, e_fn):
+            m_new = jnp.maximum(m_prev, jnp.max(sm, axis=-1, keepdims=True))
+            corr = jnp.exp(m_prev - m_new)
+            e = e_fn(m_new)                            # (bq, bk)
+            l_new = l_prev * corr + jnp.sum(e, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                e, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (bq, D)
+            acc_ref[...] = acc_ref[...] * corr + pv
+            m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+            l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+        @pl.when(full)
+        def _full_block():
+            _update(s, lambda m_new: jnp.exp(s - m_new))
+
+        @pl.when(jnp.logical_not(full))
+        def _boundary_block():
+            # 2D-only index math (TPU Mosaic prefers >=2D iota/broadcasts)
+            seg_q = jnp.swapaxes(seg_qv, 0, 1)         # (bq, 1)
+            mask = (seg_q == seg_kv) & (seg_q != 0)
+            if causal:
+                pos_q = jnp.swapaxes(pos_q_ref[0], 0, 1)
+                mask &= pos_q >= pos_k_ref[0]
+            sm = jnp.where(mask, s, NEG_INF)
+            _update(sm, lambda m_new: jnp.where(mask, jnp.exp(sm - m_new),
+                                                0.0))
 
     @pl.when(j == num_k_blocks - 1)
     def _finalize():
