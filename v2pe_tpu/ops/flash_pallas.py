@@ -138,10 +138,15 @@ def _kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
         l_prev = l_ref[:, :1]
         v = v_ref[0, 0].astype(jnp.float32)            # (bk, D)
 
-        def _update(sm, e_fn):
-            m_new = jnp.maximum(m_prev, jnp.max(sm, axis=-1, keepdims=True))
+        def _update(sm):
+            # m_new is clamped above NEG_INF/2, so masked scores (NEG_INF)
+            # underflow exp to exactly 0 — no masked select on e needed
+            # anywhere (the all-masked-row case yields e=0, l=0, and
+            # _finalize's l>0 guard emits lse=NEG_INF/out=0 as before)
+            m_new = jnp.maximum(jnp.maximum(
+                m_prev, jnp.max(sm, axis=-1, keepdims=True)), NEG_INF / 2)
             corr = jnp.exp(m_prev - m_new)
-            e = e_fn(m_new)                            # (bq, bk)
+            e = jnp.exp(sm - m_new)                    # (bq, bk)
             l_new = l_prev * corr + jnp.sum(e, axis=-1, keepdims=True)
             pv = jax.lax.dot_general(
                 e, v, (((1,), (0,)), ((), ())),
@@ -152,19 +157,37 @@ def _kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
 
         @pl.when(full)
         def _full_block():
-            _update(s, lambda m_new: jnp.exp(s - m_new))
+            _update(s)
 
-        @pl.when(jnp.logical_not(full))
-        def _boundary_block():
-            # 2D-only index math (TPU Mosaic prefers >=2D iota/broadcasts)
-            seg_q = jnp.swapaxes(seg_qv, 0, 1)         # (bq, 1)
-            mask = (seg_q == seg_kv) & (seg_q != 0)
-            if causal:
+        if causal:
+            @pl.when(jnp.logical_not(full))
+            def _boundary_block():
+                # 2D index math (TPU Mosaic prefers >=2D iota/broadcasts)
+                seg_q = jnp.swapaxes(seg_qv, 0, 1)     # (bq, 1)
+                mask = (seg_q == seg_kv) & (seg_q != 0)
                 pos_q = jnp.swapaxes(pos_q_ref[0], 0, 1)
                 mask &= pos_q >= pos_k_ref[0]
-            sm = jnp.where(mask, s, NEG_INF)
-            _update(sm, lambda m_new: jnp.where(mask, jnp.exp(sm - m_new),
-                                                0.0))
+                _update(jnp.where(mask, s, NEG_INF))
+        else:
+            # non-causal (ViT tiles): when live q and k share ONE segment
+            # and the only other value is padding (segment 0), q-side
+            # masking is unnecessary — padded q rows' outputs are sliced
+            # away by the caller and their cotangents are zero in the
+            # backward — so the 2-D mask collapses to a (1, bk) k-padding
+            # select. This is every 1025-token tile block (padded to 1152).
+            kq = (sq_max == sk_max) & (sq_max != 0) \
+                & jnp.all((seg_qv == 0) | (seg_qv == sq_max)) \
+                & jnp.all((seg_kv == 0) | (seg_kv == sk_max))
+
+            @pl.when(jnp.logical_not(full) & kq)
+            def _k_padding_block():
+                _update(jnp.where(seg_kv != 0, s, NEG_INF))
+
+            @pl.when(jnp.logical_not(full) & jnp.logical_not(kq))
+            def _boundary_block():
+                seg_q = jnp.swapaxes(seg_qv, 0, 1)     # (bq, 1)
+                mask = (seg_q == seg_kv) & (seg_q != 0)
+                _update(jnp.where(mask, s, NEG_INF))
 
     @pl.when(j == num_k_blocks - 1)
     def _finalize():
@@ -299,6 +322,10 @@ def flash_attention_fwd_pallas(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
+            # the full/boundary branch split duplicates the softmax-update
+            # body; the ViT's single-block (1152, 1152) tile shape then
+            # peaks at 16.34M scoped vmem — just over the 16M default
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*operands)

@@ -48,6 +48,26 @@ def _mask2d(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref, causal):
     return mask
 
 
+def _block_full(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref, causal,
+                causal_full_static=None):
+    """Scalar block classification (see flash_pallas._kernel): fully-live
+    blocks recompute p without the 2-D mask build or its select. The
+    backward's extra constraint: the mask also guards exp(s - lse)
+    OVERFLOW at padded q rows (lse = NEG_INF there), but a full block has
+    no padded rows by construction (padding is segment 0)."""
+    seg_qv, seg_kv = seg_q_ref[0], seg_k_ref[0]
+    sq_min, sq_max = jnp.min(seg_qv), jnp.max(seg_qv)
+    sk_min, sk_max = jnp.min(seg_kv), jnp.max(seg_kv)
+    full = (sq_min == sq_max) & (sk_min == sk_max) \
+        & (sq_min == sk_min) & (sq_min != 0)
+    if causal:
+        if causal_full_static is not None:
+            full &= causal_full_static
+        else:
+            full &= jnp.min(pos_q_ref[0]) >= jnp.max(pos_k_ref[0])
+    return full
+
+
 # ---------------------------------------------------------------------- dkv
 def _dkv_kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
                 q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
@@ -78,19 +98,34 @@ def _dkv_kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
         lse = lse_ref[0, 0]                             # (bq, 1)
         di = di_ref[0, 0]                               # (bq, 1)
 
-        mask = _mask2d(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref, causal)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)      # (bq, bk)
-        dv_acc[...] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (bk, D)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - di)                               # (bq, bk)
-        dk_acc[...] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (bk, D)
+
+        def _accumulate(p):
+            dv_acc[...] += jax.lax.dot_general(
+                p, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (bk, D)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - di)                           # (bq, bk)
+            dk_acc[...] += jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (bk, D)
+
+        full = _block_full(
+            seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref, causal,
+            causal_full_static=(qi * block_q >= i * block_k + (block_k - 1))
+            if (causal and ordered) else None)
+
+        @pl.when(full)
+        def _full_block():
+            _accumulate(jnp.exp(s - lse))
+
+        @pl.when(jnp.logical_not(full))
+        def _boundary_block():
+            mask = _mask2d(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
+                           causal)
+            _accumulate(jnp.where(mask, jnp.exp(s - lse), 0.0))
 
     @pl.when(j == inner_steps - 1)
     def _finalize():
@@ -125,16 +160,31 @@ def _dq_kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
         lse = lse_ref[0, 0]
         di = di_ref[0, 0]
 
-        mask = _mask2d(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref, causal)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - di)
-        dq_acc[...] += jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+
+        def _accumulate(p):
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - di)
+            dq_acc[...] += jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+
+        full = _block_full(
+            seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref, causal,
+            causal_full_static=(i * block_q >= j * block_k + (block_k - 1))
+            if (causal and ordered) else None)
+
+        @pl.when(full)
+        def _full_block():
+            _accumulate(jnp.exp(s - lse))
+
+        @pl.when(jnp.logical_not(full))
+        def _boundary_block():
+            mask = _mask2d(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
+                           causal)
+            _accumulate(jnp.where(mask, jnp.exp(s - lse), 0.0))
 
     @pl.when(j == num_k_blocks - 1)
     def _finalize():
@@ -236,7 +286,10 @@ def flash_attention_bwd_pallas(
                           inner_steps=inner, num_q_blocks=nq),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
+                                 "arbitrary"),
+            # branch-split body duplication (see flash_pallas) pushes the
+            # single-block ViT shapes past the 16M scoped-vmem default
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
         **dkv_specs,
     )(seg_q3, seg_k3, pos_q3, pos_k3, qt, kt, vt, dot_, lse_p, di_p)
@@ -280,7 +333,10 @@ def flash_attention_bwd_pallas(
         scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
+                                 "arbitrary"),
+            # branch-split body duplication (see flash_pallas) pushes the
+            # single-block ViT shapes past the 16M scoped-vmem default
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(seg_q3, seg_k3, pos_q3, pos_k3, qt, kt, vt, dot_, lse_p, di_p)
 
