@@ -126,6 +126,41 @@ def test_qwen2_decode_matches_teacher_forced(qwen2_pair):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_llama_logit_parity():
+    """LlamaForCausalLM (same module names, no qkv bias) through the same
+    repacking converter — the reference's third composite-LLM branch."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    lc = LLMConfig(arch="llama", vocab_size=500, hidden_size=64,
+                   intermediate_size=128, num_hidden_layers=2,
+                   num_attention_heads=4, num_key_value_heads=2,
+                   bias=False, qkv_bias=False, rope_theta=10_000.0,
+                   rms_norm_eps=1e-6, rope_mode="default")
+    hf = LlamaConfig(
+        vocab_size=lc.vocab_size, hidden_size=lc.hidden_size,
+        intermediate_size=lc.intermediate_size,
+        num_hidden_layers=lc.num_hidden_layers,
+        num_attention_heads=lc.num_attention_heads,
+        num_key_value_heads=lc.num_key_value_heads,
+        rope_theta=lc.rope_theta, rms_norm_eps=lc.rms_norm_eps,
+        tie_word_embeddings=False, attn_implementation="eager")
+    torch.manual_seed(1)
+    model = LlamaForCausalLM(hf).eval()
+    params = convert_qwen2_llm(model.state_dict(), lc)
+    params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), params)
+    assert "wqkv_bias" not in params["layers"]
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, lc.vocab_size, (2, 10)).astype(np.int32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids).long()).logits.numpy()
+    pos = np.broadcast_to(np.arange(10, dtype=np.float32), (2, 10))
+    out, _ = llm_forward(params, lc, input_ids=jnp.asarray(ids),
+                         rope_pos_ids=jnp.asarray(pos), attn_impl="jnp")
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
 def test_qwen2_v2pe_positions_run():
     """V2PE fractional positions compose with the qwen2 arch (the reference
     only wires V2PE into InternLM2; here it is arch-independent)."""

@@ -153,22 +153,27 @@ def _stack(sd: dict, pattern: str, L: int, transform=None):
 
 
 def convert_qwen2_llm(sd: dict, lc, prefix: str = "") -> dict:
-    """Convert an HF Qwen2ForCausalLM state dict into this framework's
-    decoder pytree by REPACKING the separate q/k/v projections into the
-    fused interleaved ``wqkv`` layout (modeling_internvl_chat.py:108-117
-    dispatches Qwen2ForCausalLM; split_wqkv's q-head -> kv-head mapping
-    ``h // G`` equals Qwen2's, so only the weight layout changes — the
-    whole InternLM2 compute path, caches and kernels included, is reused).
+    """Convert an HF Qwen2ForCausalLM (or LlamaForCausalLM — identical
+    module names, no qkv bias) state dict into this framework's decoder
+    pytree by REPACKING the separate q/k/v projections into the fused
+    interleaved ``wqkv`` layout (modeling_internvl_chat.py:108-117
+    dispatches Qwen2ForCausalLM/LlamaForCausalLM; split_wqkv's q-head ->
+    kv-head mapping ``h // G`` equals theirs, so only the weight layout
+    changes — the whole InternLM2 compute path, caches and kernels
+    included, is reused).
 
-    ``prefix``: '' for a bare Qwen2ForCausalLM, 'language_model.' inside an
+    ``prefix``: '' for a bare *ForCausalLM, 'language_model.' inside an
     InternVLChatModel state dict."""
     L = lc.num_hidden_layers
     Hq, Hkv, hd, D = (lc.num_attention_heads, lc.num_key_value_heads,
                       lc.head_dim, lc.hidden_size)
     G = lc.num_key_value_groups
     qkv_out = (Hq + 2 * Hkv) * hd
-    assert lc.qkv_bias and not lc.bias, \
-        "qwen2 biases q/k/v but not o_proj (set qkv_bias=True, bias=False)"
+    if lc.arch == "qwen2":
+        assert lc.qkv_bias and not lc.bias, \
+            "qwen2 biases q/k/v but not o_proj (qkv_bias=True, bias=False)"
+    else:
+        assert lc.arch == "llama" and not lc.qkv_bias and not lc.bias
 
     def fuse_w(i):
         q = _np(sd[f"{prefix}model.layers.{i}.self_attn.q_proj.weight"])
@@ -195,7 +200,6 @@ def convert_qwen2_llm(sd: dict, lc, prefix: str = "") -> dict:
             sd, prefix + "model.layers.{i}.post_attention_layernorm.weight",
             L),
         "wqkv_kernel": np.stack([fuse_w(i) for i in range(L)]),
-        "wqkv_bias": np.stack([fuse_b(i) for i in range(L)]),
         "wo_kernel": _stack(
             sd, prefix + "model.layers.{i}.self_attn.o_proj.weight", L, T),
         "w1_kernel": _stack(
@@ -205,6 +209,8 @@ def convert_qwen2_llm(sd: dict, lc, prefix: str = "") -> dict:
         "w2_kernel": _stack(
             sd, prefix + "model.layers.{i}.mlp.down_proj.weight", L, T),
     }
+    if lc.qkv_bias:
+        layers["wqkv_bias"] = np.stack([fuse_b(i) for i in range(L)])
     embed = _np(sd[f"{prefix}model.embed_tokens.weight"])
     head_key = f"{prefix}lm_head.weight"
     output = _np(sd[head_key]).T if head_key in sd else embed.T  # tied
@@ -288,7 +294,7 @@ def convert_torch_state_dict(sd: dict, cfg: VLMConfig,
     }
 
     # ---------------- language model
-    if lc.arch == "qwen2":
+    if lc.arch in ("qwen2", "llama"):
         llm = convert_qwen2_llm(sd, lc, prefix="language_model.")
         mlp1 = {
             "ln_weight": _np(sd["mlp1.0.weight"]),

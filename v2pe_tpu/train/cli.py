@@ -33,7 +33,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--model_preset", default="internvl2_2b",
                    choices=["internvl2_2b", "internvl2_5_8b", "debug_tiny"])
     p.add_argument("--llm_arch", default=None,
-                   choices=["internlm2", "qwen2"],
+                   choices=["internlm2", "qwen2", "llama"],
                    help="override the preset's decoder family (the "
                         "composite-LLM dispatch of "
                         "modeling_internvl_chat.py:108-117; qwen2 enables "
@@ -159,7 +159,8 @@ def main(argv=None):
             cfg, llm=dataclasses.replace(
                 cfg.llm, arch=args.llm_arch,
                 qkv_bias=args.llm_arch == "qwen2",
-                bias=False if args.llm_arch == "qwen2" else cfg.llm.bias))
+                bias=cfg.llm.bias if args.llm_arch == "internlm2"
+                else False))
 
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer,
                                               trust_remote_code=True)
