@@ -473,6 +473,38 @@ def test_chat_paged_matches_dense():
     assert r_d == r_p
 
 
+def test_chat_paged_int8_runs():
+    """The serving kv_dtype='int8' knob drives the quantized pool through
+    the full chat surface (tiny random weights: tokens may differ from
+    bf16 by quantization, so this asserts the path runs end to end)."""
+    from PIL import Image
+
+    from v2pe_tpu.core.config import LLMConfig, VLMConfig, VisionConfig
+    from v2pe_tpu.infer.chat import ChatModel
+    from v2pe_tpu.infer.generate import GenerationConfig
+    from v2pe_tpu.models.params import init_vlm_params
+
+    from .test_data_pipeline import _toy_tokenizer
+
+    tok = _toy_tokenizer()
+    cfg = VLMConfig(
+        vision=VisionConfig(hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            image_size=56, patch_size=14),
+        llm=LLMConfig(vocab_size=len(tok), hidden_size=32,
+                      intermediate_size=64, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2),
+        max_dynamic_patch=2)
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    model = ChatModel(params, cfg, tok, attn_impl="jnp",
+                      cache_mode="paged", page_size=8, kv_dtype="int8")
+    img = Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (64, 80, 3), np.uint8))
+    pv, _ = model.load_pixels(img)
+    r = model.chat(pv, "Describe.", GenerationConfig(max_new_tokens=4))
+    assert isinstance(r, str)
+
+
 def test_stream_generate_paged_matches_dense():
     """Chunked streaming decode over the paged cache yields the same token
     stream as the dense cache (the serve worker's cache_mode knob)."""

@@ -29,7 +29,7 @@ class ChatModel:
 
     def __init__(self, params, cfg: VLMConfig, tokenizer,
                  attn_impl: str = "auto", cache_mode: str = "dense",
-                 page_size: int = 128):
+                 page_size: int = 128, kv_dtype=None):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -39,6 +39,7 @@ class ChatModel:
         # shared page pool across ragged batch rows
         self.cache_mode = cache_mode
         self.page_size = page_size
+        self.kv_dtype = kv_dtype  # 'int8': quantized paged pool
         self.img_context_token_id = tokenizer.convert_tokens_to_ids(
             IMG_CONTEXT_TOKEN)
         self.img_start_id = tokenizer.convert_tokens_to_ids(IMG_START_TOKEN)
@@ -154,6 +155,7 @@ class ChatModel:
                 attn_impl=self.attn_impl,
                 cache_mode=self.cache_mode,
                 page_size=self.page_size,
+                kv_dtype=self.kv_dtype,
             )
         response = self._decode(np.asarray(tokens[0]),
                                 int(np.asarray(gen_lens)[0]))

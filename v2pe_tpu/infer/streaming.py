@@ -23,12 +23,12 @@ from v2pe_tpu.models.internlm2 import KVCache
 
 @partial(jax.jit, static_argnames=("cfg", "gc", "img_context_token_id",
                                    "attn_impl", "max_total", "cache_mode",
-                                   "page_size"))
+                                   "page_size", "kv_dtype"))
 def _prefill(params, cfg: VLMConfig, gc: GenerationConfig, input_ids,
              rope_pos_ids, pixel_values, image_flags,
              img_context_token_id: int, max_total: int, rng,
              attn_impl: str = "auto", cache_mode: str = "dense",
-             page_size: int = 128):
+             page_size: int = 128, kv_dtype=None):
     llm = params["llm"]
     B, S = input_ids.shape
     embeds = llm["tok_embeddings"][input_ids]
@@ -41,6 +41,7 @@ def _prefill(params, cfg: VLMConfig, gc: GenerationConfig, input_ids,
 
         MP = -(-max_total // page_size)
         cache = pk.PagedKVCache.zeros(cfg.llm, B, B * MP + 1, page_size, MP,
+                                      kv_dtype=kv_dtype,
                                       dtype=llm["tok_embeddings"].dtype)
         lens = jnp.full((B,), S, jnp.int32)
         cache = pk.allocate_rows(cache, lens)
@@ -116,6 +117,7 @@ def stream_generate(
     rng: Optional[jax.Array] = None,
     cache_mode: str = "dense",
     page_size: int = 128,
+    kv_dtype=None,
 ) -> Iterator[np.ndarray]:
     """Yields int32 token chunks until EOS or max_new_tokens."""
     if rng is None:
@@ -127,7 +129,7 @@ def stream_generate(
                           jnp.asarray(pixel_values), jnp.asarray(image_flags),
                           img_context_token_id, max_total, rng,
                           attn_impl=attn_impl, cache_mode=cache_mode,
-                          page_size=page_size)
+                          page_size=page_size, kv_dtype=kv_dtype)
     eos = set(gc.eos_token_ids)
     done = jnp.asarray([int(tok[0]) in eos]) if eos else jnp.asarray([False])
     if not bool(done[0]):

@@ -158,7 +158,8 @@ class ModelWorker:
                 self.model.img_context_token_id,
                 attn_impl=self.model.attn_impl,
                 cache_mode=getattr(self.model, "cache_mode", "dense"),
-                page_size=getattr(self.model, "page_size", 128)):
+                page_size=getattr(self.model, "page_size", 128),
+                kv_dtype=getattr(self.model, "kv_dtype", None)):
             stop_ids = set(gc.eos_token_ids)
             keep = [int(t) for t in chunk if int(t) not in stop_ids]
             text += self.model.tokenizer.decode(
