@@ -234,6 +234,38 @@ def _kernel_tflops(jax, jnp, cfg):
     return out
 
 
+def _train_bench(jax, jnp, cfg, params, seq_len: int = 8192,
+                 tiles: int = 8, steps: int = 2):
+    """Full fwd+bwd+Adam training step throughput (remat, chunked CE) on
+    the 2B model — the reference recipe's per-chip unit of work."""
+    from v2pe_tpu.train.optimizer import TrainConfig, build_optimizer
+    from v2pe_tpu.train.synth import IMG_CONTEXT_ID, make_synthetic_batch
+    from v2pe_tpu.train.train_step import make_train_step
+
+    # int8 Adam moments: fp32 moments for 2.2B params are 17.6 GB — over
+    # one chip's HBM; the 8-bit optimizer (the reference recipe's bnb
+    # Adam8bit) is the single-chip training configuration
+    tc = TrainConfig(learning_rate=1e-5, warmup_steps=1, total_steps=100,
+                     use_8bit_optimizer=True)
+    tx = build_optimizer(tc, params)
+    opt_state = tx.init(params)
+    batch = make_synthetic_batch(cfg, 1, seq_len, tiles_per_row=tiles,
+                                 stride=64)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    batch["pixel_values"] = batch["pixel_values"].astype(
+        params["llm"]["tok_embeddings"].dtype)
+    step = make_train_step(cfg, tx, None, IMG_CONTEXT_ID, remat=True,
+                           donate=True)
+    params, opt_state, m = step(params, opt_state, batch)   # compile
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, m = step(params, opt_state, batch)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0 - RTT) / steps
+    return seq_len / dt
+
+
 def _decode_bench(jax, jnp, cfg, params, ctx_len: int, paged: bool,
                   n_tokens: int = 32, page_size: int = 1024,
                   kv_dtype=None):
@@ -413,6 +445,12 @@ def main():
         extras.update(_kernel_tflops(jax, jnp, cfg))
     except Exception as e:
         extras["kernel_tflops_error"] = repr(e)[:200]
+    try:
+        # LAST: the train step donates (consumes) the params buffers
+        extras["train_tok_s_8k_8tiles"] = round(
+            _train_bench(jax, jnp, cfg, params), 1)
+    except Exception as e:
+        extras["train_error"] = repr(e)[:200]
 
     metric = f"prefill_tokens_per_sec_{SEQ_LEN // 1024}k_{TILES}tiles"
     prev = _prev_value(metric)

@@ -66,31 +66,36 @@ def _run_ours(cfg, params, ids, gc):
 
 @pytest.mark.parametrize("num_beams,lp", [(3, 1.0), (2, 0.6), (4, 2.0)])
 def test_beam_matches_hf(qwen2_vlm, num_beams, lp):
+    """Multi-seed sweep per config (same shapes -> one compile each; an
+    earlier prompt+generated length normalization passed single-seed
+    checks but diverged on 49/144 of an adversarial sweep — seed 11 /
+    eos 7 / lp 1.0 even returned an EMPTY hypothesis)."""
     import torch
 
     cfg, model, params = qwen2_vlm
-    rng = np.random.RandomState(3)
-    ids = rng.randint(0, 490, (2, 9)).astype(np.int32)
     eos_id = 7
     max_new = 8
-    with torch.no_grad():
-        hf_out = model.generate(
-            torch.from_numpy(ids).long(), num_beams=num_beams,
-            max_new_tokens=max_new, do_sample=False, eos_token_id=eos_id,
-            pad_token_id=0, length_penalty=lp, early_stopping=False)
-    hf_gen = hf_out[:, ids.shape[1]:].numpy()
-
     gc = GenerationConfig(max_new_tokens=max_new, eos_token_ids=(eos_id,),
                           num_beams=num_beams, length_penalty=lp)
-    toks, lens = _run_ours(cfg, params, ids, gc)
-    for b in range(ids.shape[0]):
-        ours = list(np.asarray(toks[b][:int(lens[b])]))
-        ref = list(hf_gen[b])
-        # HF pads after eos with pad_token and includes the eos; ours
-        # excludes the eos from the stored hypothesis
-        if eos_id in ref:
-            ref = ref[:ref.index(eos_id)]
-        assert ours == ref, (b, ours, ref)
+    for seed in (3, 5, 11, 17, 23, 31):
+        rng = np.random.RandomState(seed)
+        ids = rng.randint(0, 490, (2, 9)).astype(np.int32)
+        with torch.no_grad():
+            hf_out = model.generate(
+                torch.from_numpy(ids).long(), num_beams=num_beams,
+                max_new_tokens=max_new, do_sample=False, eos_token_id=eos_id,
+                pad_token_id=0, length_penalty=lp, early_stopping=False)
+        hf_gen = hf_out[:, ids.shape[1]:].numpy()
+
+        toks, lens = _run_ours(cfg, params, ids, gc)
+        for b in range(ids.shape[0]):
+            ours = list(np.asarray(toks[b][:int(lens[b])]))
+            ref = list(hf_gen[b])
+            # HF pads after eos with pad_token and includes the eos; ours
+            # excludes the eos from the stored hypothesis
+            if eos_id in ref:
+                ref = ref[:ref.index(eos_id)]
+            assert ours == ref, (seed, b, ours, ref)
 
 
 def test_beam1_matches_greedy(qwen2_vlm):

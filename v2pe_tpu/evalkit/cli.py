@@ -286,9 +286,16 @@ def main(argv=None):
 
             mod_name, fn_name = args.judge_client.split(":")
             client = getattr(importlib.import_module(mod_name), fn_name)
+            # task-scoped artifacts: run_generation_benchmark resumes
+            # from and combines ALL jsons in its results dir, so sharing
+            # one dir across benchmarks would skip samples and merge
+            # foreign judgments into the summary
             combined = gpt_judge.run_generation_benchmark(
-                results, os.path.join(args.outputs_dir, "eval_results"),
-                os.path.join(args.outputs_dir, "gpt_eval_results.json"),
+                results,
+                os.path.join(args.outputs_dir,
+                             f"eval_results_{args.benchmark}"),
+                os.path.join(args.outputs_dir,
+                             f"gpt_eval_results_{args.benchmark}.json"),
                 client)
             return gpt_judge.summarize(combined)
 
@@ -309,6 +316,9 @@ def main(argv=None):
                 max_new_tokens=args.max_new_tokens,
                 num_beams=args.num_beams))
         items = [json.loads(l) for l in open(args.data)]
+        for i, it in enumerate(items):  # runner resumes by 'id'
+            it.setdefault("id", it.get("question_id",
+                                       it.get("video_name", i)))
         out = os.path.join(args.outputs_dir,
                            f"{args.task}.rank{args.rank}.jsonl")
         n = runner.run_shard(items, infer, out, rank=args.rank,
@@ -330,6 +340,10 @@ def main(argv=None):
         model = load_chat_model(args)
         from v2pe_tpu.infer.generate import GenerationConfig
 
+        if ds_name not in vqa_driver.DS_COLLECTIONS:
+            raise SystemExit(
+                f"unknown vqa dataset {ds_name!r}; known: "
+                f"{sorted(vqa_driver.DS_COLLECTIONS)}")
         mnt = vqa_driver.DS_COLLECTIONS[ds_name]["max_new_tokens"]
         infer = vqa_driver.build_infer_fn(
             ds_name, model,

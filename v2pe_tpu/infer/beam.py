@@ -114,11 +114,15 @@ def beam_generate(
             jnp.zeros_like(tok, dtype=bool)
         rank = jnp.broadcast_to(jnp.arange(2 * K), (B, 2 * K))
 
-        # ---- retire EOS candidates ranked < K into the hypothesis pool
+        # ---- retire EOS candidates ranked < K into the hypothesis pool.
+        # HF normalizes by GENERATED length only (BeamHypotheses.add gets
+        # generated_len = cur_len - decoder_prompt_len = t + 1, counting
+        # the eos; the prompt never enters the denominator) — normalizing
+        # by prompt+generated flattens the length penalty and lets
+        # short/empty hypotheses win (caught by an adversarial sweep vs
+        # transformers: 49/144 seeds diverged, some to EMPTY answers).
         offer = is_eos & (rank < K)
-        # hypothesis content: parent's tokens so far + nothing (eos not
-        # stored); length = prompt + t
-        hyp_len = (prompt_lengths[:, None].astype(jnp.float32) + t)
+        hyp_len = jnp.float32(t + 1)
         offer_score = jnp.where(offer, top_s / hyp_len ** lp, -jnp.inf)
 
         def add_one(i, st):
@@ -171,8 +175,8 @@ def beam_generate(
         full = jnp.all(jnp.isfinite(hyp_s), axis=1)
         if gc.early_stopping:
             return full
-        cur_len = prompt_lengths.astype(jnp.float32) + t
-        best_possible = best_cum / cur_len ** lp
+        # BeamHypotheses.is_done: generated length only in the denominator
+        best_possible = best_cum / jnp.float32(t) ** lp
         return full & (jnp.min(hyp_s, axis=1) >= best_possible)
 
     def cond(state):
@@ -204,9 +208,9 @@ def beam_generate(
     (t_end, tok, parent, scores, cache, out, hyp_s, hyp_t, hyp_l, best_cum,
      _) = jax.lax.while_loop(cond, body, state)
 
-    # ---- finalize: open beams join the pool (HF finalize), best wins
-    final_len = (prompt_lengths[:, None].astype(jnp.float32) + t_end)
-    open_score = scores / final_len ** lp
+    # ---- finalize: open beams join the pool (HF finalize: generated_len
+    # = final length - prompt = t_end), best wins
+    open_score = scores / t_end.astype(jnp.float32) ** lp
     rowi = jnp.arange(B)[:, None]
 
     def add_open(i, st):

@@ -131,6 +131,14 @@ class ChatModel:
         if gc.num_beams > 1:
             from v2pe_tpu.infer.beam import beam_generate
 
+            if self.cache_mode != "dense" or self.kv_dtype is not None:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "beam search decodes with a dense B*num_beams KV cache;"
+                    " cache_mode=%r/kv_dtype=%r are ignored for this call",
+                    self.cache_mode, self.kv_dtype)
+
             tokens, gen_lens = beam_generate(
                 self.params, self.cfg, gc,
                 jnp.asarray(ids[None], jnp.int32),

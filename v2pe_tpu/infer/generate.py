@@ -113,10 +113,23 @@ def generate(
     # ~3 GB of HBM writes at 8k x 92k — pure TTFT waste)
     if cache_mode == "paged":
         from v2pe_tpu.infer import paged_kv as pk
+        from v2pe_tpu.parallel import context as pctx
 
+        # under a seq-sharded mesh the pool MUST be built with matching
+        # n_shards: attention_forward auto-routes to the seq-sharded
+        # kernels, whose local-page-view math assumes allocate_rows'
+        # round-robin placement and the per-shard reserved null pages —
+        # an n_shards=1 allocator there silently drops pages from
+        # attention and can clobber fresh tokens via the null-page no-op
+        ctx = pctx.current()
+        n_shards = ctx.seq_shards if ctx is not None else 1
         MP = -(-max_len // page_size)
-        cache = pk.PagedKVCache.zeros(cfg.llm, B, B * MP + 1, page_size, MP,
-                                      dtype=dtype, kv_dtype=kv_dtype)
+        # per shard: 1 reserved null page + worst-case round-robin demand
+        # (each row's page at slot s lives on shard s % n)
+        n_pages = n_shards * (B * (-(-MP // n_shards)) + 1)
+        cache = pk.PagedKVCache.zeros(cfg.llm, B, n_pages, page_size, MP,
+                                      dtype=dtype, kv_dtype=kv_dtype,
+                                      n_shards=n_shards)
         cache = pk.allocate_rows(cache, prompt_lengths)
         # llm_forward writes pages in place (per-layer scatters on the scan
         # carry for long prompts; the aliased store kernel for tiny ones)

@@ -38,10 +38,16 @@ def _prefill(params, cfg: VLMConfig, gc: GenerationConfig, input_ids,
         embeds, input_ids, vit, image_flags, img_context_token_id)
     if cache_mode == "paged":
         from v2pe_tpu.infer import paged_kv as pk
+        from v2pe_tpu.parallel import context as pctx
 
+        # match the ambient seq sharding (see infer/generate.py — the
+        # seq-sharded kernels require allocate_rows' round-robin layout)
+        ctx = pctx.current()
+        n_shards = ctx.seq_shards if ctx is not None else 1
         MP = -(-max_total // page_size)
-        cache = pk.PagedKVCache.zeros(cfg.llm, B, B * MP + 1, page_size, MP,
-                                      kv_dtype=kv_dtype,
+        n_pages = n_shards * (B * (-(-MP // n_shards)) + 1)
+        cache = pk.PagedKVCache.zeros(cfg.llm, B, n_pages, page_size, MP,
+                                      kv_dtype=kv_dtype, n_shards=n_shards,
                                       dtype=llm["tok_embeddings"].dtype)
         lens = jnp.full((B,), S, jnp.int32)
         cache = pk.allocate_rows(cache, lens)

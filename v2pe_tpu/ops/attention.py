@@ -45,13 +45,10 @@ class AttnStatics(NamedTuple):
     interpret: bool = False
     rope_theta: float = 0.0  # >0: rotary fused INTO the kernel from the
     # rope_q/rope_k fp32 id vectors (saves the q/k HBM round trips of a
-    # jnp-level apply_rotary — measured ~8% of LLM prefill)
-    dense: bool = False  # no segment masking (both segment inputs were
-    # None): with causal=False and unpadded blocks the jnp fallback skips
-    # mask construction AND the per-block jnp.any liveness cond — that
-    # cond's mask is a pure function of iota constants, and XLA constant-
-    # folds the resulting full-S^2 reduce-window at 2-3 s per call site
-    # (the ViT's 1025-token tiles burned ~10 s of every CPU-mesh compile)
+    # jnp-level apply_rotary — measured ~8% of LLM prefill). Note: mask
+    # skipping does NOT need a static dense flag — both the jnp fallback
+    # and the Pallas kernel classify each block dead/full/boundary at
+    # runtime from O(block) segment/position min-max summaries.
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -512,7 +509,6 @@ def flash_attention(
         impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
     interpret = impl == "pallas" and jax.default_backend() != "tpu"
     ordered = q_positions is None and kv_positions is None
-    dense = q_segment_ids is None and kv_segment_ids is None
 
     if q_segment_ids is None:
         q_segment_ids = jnp.ones((B, Sq), jnp.int32)
@@ -550,7 +546,7 @@ def flash_attention(
     statics = AttnStatics(causal=causal, scale=float(scale),
                           block_q=block_q, block_k=block_k, impl=impl,
                           ordered=ordered, interpret=interpret,
-                          rope_theta=float(rope_theta), dense=dense)
+                          rope_theta=float(rope_theta))
     args = (q, k, v,
             q_segment_ids.astype(jnp.int32),
             kv_segment_ids.astype(jnp.int32),

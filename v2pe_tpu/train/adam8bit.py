@@ -101,20 +101,68 @@ def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
                 lambda p: _quantize_sqrt(jnp.zeros(p.shape, jnp.float32),
                                          block_size), params))
 
+    # ~16 MB of f32 per live chunk: dequantizing a whole stacked-layer
+    # moment tensor at once materializes param-sized f32 temps (1.5 GB per
+    # moment for the 2B model's ffn stacks) and XLA schedules several
+    # leaves concurrently — measured 9.1 GB of optimizer temps, an HBM
+    # OOM for the single-chip 8k training step. Chunk rows align with
+    # quantization blocks, so results are bitwise identical.
+    CHUNK_ELEMS = 4 * 2 ** 20
+
     def update_fn(updates, state, params=None):
         count = state.count + 1
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
 
         def upd(g, mq, nq):
-            m = _dequantize(mq, block_size)
-            n = _dequantize_sqrt(nq, block_size)
-            g = g.astype(jnp.float32)
-            m = b1 * m + (1 - b1) * g
-            n = b2 * n + (1 - b2) * g * g
-            mhat = m / (1 - b1 ** count.astype(jnp.float32))
-            nhat = n / (1 - b2 ** count.astype(jnp.float32))
-            out = mhat / (jnp.sqrt(nhat) + eps)
-            return out, _quantize(m, block_size), _quantize_sqrt(
-                n, block_size)
+            n_el = g.size
+            pad = (-n_el) % block_size
+            nb = (n_el + pad) // block_size
+
+            def pad2(x):
+                f = x.reshape(-1)
+                return (jnp.pad(f, (0, pad)) if pad else f).reshape(
+                    nb, block_size)
+
+            rows = min(nb, max(1, CHUNK_ELEMS // block_size))
+            C = -(-nb // rows)
+            rpad = C * rows - nb
+
+            def chunked(x):
+                if rpad:
+                    w = [(0, rpad)] + [(0, 0)] * (x.ndim - 1)
+                    x = jnp.pad(x, w)
+                return x.reshape((C, rows) + x.shape[1:])
+
+            def chunk(args):
+                gc_, mc, ms, nc, ns = args
+                gf = gc_.astype(jnp.float32)
+                m = mc.astype(jnp.float32) * ms[:, None]
+                v = (nc.astype(jnp.float32) ** 2) * ns[:, None]
+                m = b1 * m + (1 - b1) * gf
+                v = b2 * v + (1 - b2) * gf * gf
+                out = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+                msc = jnp.max(jnp.abs(m), axis=1) / 127.0
+                msafe = jnp.where(msc > 0, msc, 1.0)
+                mcode = jnp.clip(jnp.round(m / msafe[:, None]), -127, 127
+                                 ).astype(jnp.int8)
+                vmax = jnp.max(v, axis=1)
+                vsafe = jnp.where(vmax > 0, vmax, 1.0)
+                vcode = jnp.clip(
+                    jnp.round(127.0 * jnp.sqrt(v / vsafe[:, None])),
+                    0, 127).astype(jnp.int8)
+                return out, mcode, msc, vcode, vmax / (127.0 ** 2)
+
+            out, mcode, msc, vcode, vsc = jax.lax.map(
+                chunk, (chunked(pad2(g)), chunked(pad2(mq.code)),
+                        chunked(mq.scale), chunked(pad2(nq.code)),
+                        chunked(nq.scale)))
+            out = out.reshape(-1)[:n_el].reshape(g.shape)
+            shape_code = lambda c: c.reshape(-1)[:n_el].reshape(g.shape)
+            shape_sc = lambda s: s.reshape(-1)[:nb]
+            return (out,
+                    _Q(shape_code(mcode), shape_sc(msc)),
+                    _Q(shape_code(vcode), shape_sc(vsc)))
 
         flat_u, tdef = jax.tree.flatten(updates)
         flat_m = tdef.flatten_up_to(state.mu)
