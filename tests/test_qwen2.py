@@ -161,6 +161,45 @@ def test_llama_logit_parity():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
 
 
+def test_phi3_logit_parity():
+    """Phi3ForCausalLM — the fourth composite-LLM branch: fused qkv_proj
+    ([q; k; v] concatenated) and gate_up_proj are split and repacked."""
+    import torch
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    lc = LLMConfig(arch="phi3", vocab_size=500, hidden_size=64,
+                   intermediate_size=128, num_hidden_layers=2,
+                   num_attention_heads=4, num_key_value_heads=2,
+                   bias=False, qkv_bias=False, rope_theta=10_000.0,
+                   rms_norm_eps=1e-5, rope_mode="default")
+    hf = Phi3Config(
+        vocab_size=lc.vocab_size, hidden_size=lc.hidden_size,
+        intermediate_size=lc.intermediate_size,
+        num_hidden_layers=lc.num_hidden_layers,
+        num_attention_heads=lc.num_attention_heads,
+        num_key_value_heads=lc.num_key_value_heads,
+        rope_theta=lc.rope_theta, rms_norm_eps=lc.rms_norm_eps,
+        resid_pdrop=0.0, embd_pdrop=0.0, attention_dropout=0.0,
+        pad_token_id=0,  # Phi3Config default 32000 > tiny test vocab
+        tie_word_embeddings=False, attn_implementation="eager")
+    torch.manual_seed(2)
+    model = Phi3ForCausalLM(hf).eval()
+    from v2pe_tpu.models.params import convert_phi3_llm
+
+    params = convert_phi3_llm(model.state_dict(), lc)
+    params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), params)
+    assert "wqkv_bias" not in params["layers"]
+
+    rng = np.random.RandomState(4)
+    ids = rng.randint(0, lc.vocab_size, (2, 10)).astype(np.int32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids).long()).logits.numpy()
+    pos = np.broadcast_to(np.arange(10, dtype=np.float32), (2, 10))
+    out, _ = llm_forward(params, lc, input_ids=jnp.asarray(ids),
+                         rope_pos_ids=jnp.asarray(pos), attn_impl="jnp")
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
 def test_qwen2_v2pe_positions_run():
     """V2PE fractional positions compose with the qwen2 arch (the reference
     only wires V2PE into InternLM2; here it is arch-independent)."""

@@ -75,7 +75,7 @@ class LLMConfig:
     segment-id flash kernel, which is arch-agnostic).
     """
 
-    arch: str = "internlm2"  # 'internlm2' | 'qwen2'
+    arch: str = "internlm2"  # internlm2 | qwen2 | llama | phi3
     vocab_size: int = 92553
     hidden_size: int = 2048
     intermediate_size: int = 8192

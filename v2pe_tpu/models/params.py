@@ -222,6 +222,61 @@ def convert_qwen2_llm(sd: dict, lc, prefix: str = "") -> dict:
     }
 
 
+def convert_phi3_llm(sd: dict, lc, prefix: str = "") -> dict:
+    """Convert an HF Phi3ForCausalLM state dict (the reference's fourth
+    composite-LLM branch, modeling_internvl_chat.py:112-113): Phi3 fuses
+    q/k/v into one ``qkv_proj`` in [q; k; v] CONCATENATED order and the
+    MLP gate/up into ``gate_up_proj`` — both are split here and the q/k/v
+    repacked into the interleaved wqkv layout (see convert_qwen2_llm).
+    Long-context 'su'/longrope scaling is not converted (no V2PE
+    checkpoint uses Phi3; gate at the config level)."""
+    L = lc.num_hidden_layers
+    Hq, Hkv, hd, D = (lc.num_attention_heads, lc.num_key_value_heads,
+                      lc.head_dim, lc.hidden_size)
+    G = lc.num_key_value_groups
+    qkv_out = (Hq + 2 * Hkv) * hd
+    assert lc.arch == "phi3" and not lc.qkv_bias and not lc.bias
+
+    def fuse_w(i):
+        w = _np(sd[f"{prefix}model.layers.{i}.self_attn.qkv_proj.weight"])
+        q, k, v = (w[:Hq * hd], w[Hq * hd:(Hq + Hkv) * hd],
+                   w[(Hq + Hkv) * hd:])
+        out = np.concatenate([q.reshape(Hkv, G, hd, D),
+                              k.reshape(Hkv, 1, hd, D),
+                              v.reshape(Hkv, 1, hd, D)], axis=1)
+        return out.reshape(qkv_out, D).T
+
+    def gate_up(i, part):
+        w = _np(sd[f"{prefix}model.layers.{i}.mlp.gate_up_proj.weight"])
+        I = lc.intermediate_size
+        return (w[:I] if part == 0 else w[I:]).T
+
+    T = np.transpose
+    layers = {
+        "attention_norm": _stack(
+            sd, prefix + "model.layers.{i}.input_layernorm.weight", L),
+        "ffn_norm": _stack(
+            sd, prefix + "model.layers.{i}.post_attention_layernorm.weight",
+            L),
+        "wqkv_kernel": np.stack([fuse_w(i) for i in range(L)]),
+        "wo_kernel": _stack(
+            sd, prefix + "model.layers.{i}.self_attn.o_proj.weight", L, T),
+        "w1_kernel": np.stack([gate_up(i, 0) for i in range(L)]),
+        "w3_kernel": np.stack([gate_up(i, 1) for i in range(L)]),
+        "w2_kernel": _stack(
+            sd, prefix + "model.layers.{i}.mlp.down_proj.weight", L, T),
+    }
+    embed = _np(sd[f"{prefix}model.embed_tokens.weight"])
+    head_key = f"{prefix}lm_head.weight"
+    output = _np(sd[head_key]).T if head_key in sd else embed.T
+    return {
+        "tok_embeddings": embed,
+        "layers": layers,
+        "norm": _np(sd[f"{prefix}model.norm.weight"]),
+        "output_kernel": output,
+    }
+
+
 def convert_torch_state_dict(sd: dict, cfg: VLMConfig,
                              dtype=jnp.float32) -> dict:
     """Convert an InternVLChatModel torch state dict (HF layout) into our
@@ -294,8 +349,9 @@ def convert_torch_state_dict(sd: dict, cfg: VLMConfig,
     }
 
     # ---------------- language model
-    if lc.arch in ("qwen2", "llama"):
-        llm = convert_qwen2_llm(sd, lc, prefix="language_model.")
+    if lc.arch in ("qwen2", "llama", "phi3"):
+        conv = convert_phi3_llm if lc.arch == "phi3" else convert_qwen2_llm
+        llm = conv(sd, lc, prefix="language_model.")
         mlp1 = {
             "ln_weight": _np(sd["mlp1.0.weight"]),
             "ln_bias": _np(sd["mlp1.0.bias"]),

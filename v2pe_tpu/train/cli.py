@@ -33,7 +33,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--model_preset", default="internvl2_2b",
                    choices=["internvl2_2b", "internvl2_5_8b", "debug_tiny"])
     p.add_argument("--llm_arch", default=None,
-                   choices=["internlm2", "qwen2", "llama"],
+                   choices=["internlm2", "qwen2", "llama", "phi3"],
                    help="override the preset's decoder family (the "
                         "composite-LLM dispatch of "
                         "modeling_internvl_chat.py:108-117; qwen2 enables "
