@@ -74,6 +74,36 @@ def test_mm_niah_markdown(tmp_path):
     assert "\\<" not in md or "<" not in md.replace("\\<", "")
 
 
+def test_combine_images_dataset(tmp_path):
+    """MileBench image pre-combining: grid merge + json rewrite
+    (eval/milebench/combine_images.py parity)."""
+    from PIL import Image
+
+    from v2pe_tpu.evalkit.report import combine_milebench_dataset
+
+    ds = tmp_path / "ALFRED"
+    (ds / "images").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(5):
+        Image.fromarray(rng.randint(0, 255, (40, 60, 3), np.uint8)).save(
+            ds / "images" / f"im{i}.jpg")
+    data = {"data": [{
+        "sample_id": "s0",
+        "task_instance": {"images_path": [f"im{i}.jpg" for i in range(5)]},
+    }]}
+    with open(ds / "ALFRED.json", "w") as f:
+        json.dump(data, f)
+
+    out_json = combine_milebench_dataset(str(tmp_path), "ALFRED", 2)
+    with open(out_json) as f:
+        new = json.load(f)
+    combined = new["data"][0]["task_instance"]["combined_2_images"]
+    # 5 images, budget 2 -> combine_num = 3 -> 2 grids (3 + 2)
+    assert combined == ["s0-0.jpg", "s0-1.jpg"]
+    g0 = Image.open(ds / "combined_2_images" / "s0-0.jpg")
+    assert g0.size == (1600, 1600)  # 2x2 grid of 800px cells (3 images)
+
+
 def test_cli_roundtrip(tmp_path, capsys):
     d = tmp_path / "my_model"
     d.mkdir()

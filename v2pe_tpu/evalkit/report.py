@@ -153,6 +153,60 @@ def mm_niah_item_markdown(item: dict, image_dir: str = "") -> str:
     return md_str.replace("<", "\\<").replace(">", "\\>")
 
 
+def combine_images(image_paths: Sequence[str],
+                   resize_to=(800, 800)):
+    """Grid-combine images (LANCZOS resize, square-ish grid, row-major
+    paste) — eval/milebench/combine_images.py:67-95 parity. Returns the
+    combined PIL image."""
+    import math
+
+    from PIL import Image
+
+    images = [Image.open(p).resize(resize_to, Image.LANCZOS).convert("RGBA")
+              for p in image_paths]
+    grid_w = math.ceil(math.sqrt(len(images)))
+    grid_h = math.ceil(len(images) / grid_w)
+    out = Image.new("RGB", (grid_w * resize_to[0], grid_h * resize_to[1]))
+    x = y = 0
+    for img in images:
+        out.paste(img, (x, y))
+        x += resize_to[0]
+        if x >= grid_w * resize_to[0]:
+            x, y = 0, y + resize_to[1]
+    return out
+
+
+def combine_milebench_dataset(data_dir: str, dataset_name: str,
+                              max_img_num: int) -> str:
+    """Pre-combine a MileBench task's images so samples fit a model's image
+    budget (combine_images.py:107-148): every ceil(n/max) consecutive
+    originals merge into one grid jpg; the json gains a
+    ``combined_{max}_images`` path list per sample and is rewritten as
+    ``{name}_combined_{max}.json``. Returns the new json path."""
+    dataset_dir = os.path.join(data_dir, dataset_name)
+    img_dir = os.path.join(dataset_dir, "images")
+    output_dir = os.path.join(dataset_dir, f"combined_{max_img_num}_images")
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(dataset_dir, f"{dataset_name}.json")) as f:
+        json_data = json.load(f)
+    for item in json_data["data"]:
+        names = item["task_instance"]["images_path"]
+        paths = [os.path.join(img_dir, n) for n in names]
+        combine_num = (len(paths) - 1) // max_img_num + 1
+        outs = []
+        for idx, start in enumerate(range(0, len(paths), combine_num)):
+            name = f"{item['sample_id']}-{idx}.jpg"
+            combine_images(paths[start:start + combine_num]).save(
+                os.path.join(output_dir, name))
+            outs.append(name)
+        item["task_instance"][f"combined_{max_img_num}_images"] = outs
+    out_json = os.path.join(dataset_dir,
+                            f"{dataset_name}_combined_{max_img_num}.json")
+    with open(out_json, "w") as f:
+        json.dump(json_data, f, ensure_ascii=False, indent=4)
+    return out_json
+
+
 def main(argv: Sequence[str] | None = None) -> int:
     import argparse
 
@@ -167,7 +221,17 @@ def main(argv: Sequence[str] | None = None) -> int:
     pn.add_argument("index", type=int)
     pn.add_argument("--image-dir", default="")
     pn.add_argument("-o", "--output", default=None)
+    pc = sub.add_parser("combine-images")
+    pc.add_argument("--data_dir", default="data/MileBench")
+    pc.add_argument("--dataset_name", required=True)
+    pc.add_argument("--max_img_num", required=True, type=int)
     args = p.parse_args(argv)
+
+    if args.cmd == "combine-images":
+        out = combine_milebench_dataset(args.data_dir, args.dataset_name,
+                                        args.max_img_num)
+        print(out)
+        return 0
 
     if args.cmd == "milebench":
         results = {}
