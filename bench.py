@@ -234,6 +234,34 @@ def _kernel_tflops(jax, jnp, cfg):
     return out
 
 
+def _turn_prefill_bench(jax, jnp, cfg, params, hist: int = 32768,
+                        chunk: int = 2048, page_size: int = 1024):
+    """Multi-turn serving TTFT: a fresh CHUNK prefilled onto an existing
+    paged history (infer/chunked_prefill.py) — the path that replaces the
+    reference's full-history re-prefill every chat turn."""
+    from v2pe_tpu.infer import paged_kv as pk
+    from v2pe_tpu.infer.chunked_prefill import chunked_prefill
+
+    lcfg = cfg.llm
+    MP = -(-(hist + 3 * chunk) // page_size)
+    cache = pk.PagedKVCache.zeros(lcfg, 1, MP + 1, page_size, MP,
+                                  dtype=jnp.bfloat16)
+    cache = pk.allocate_rows(cache, jnp.full((1,), hist, jnp.int32))
+    cache = cache._replace(lengths=jnp.full((1,), hist, jnp.int32))
+    ids = jnp.zeros((1, chunk), jnp.int32)
+    pos = (hist + jnp.arange(chunk, dtype=jnp.float32))[None]
+    llm = params["llm"]
+    h, cache = chunked_prefill(llm, lcfg, cache, input_ids=ids,
+                               rope_pos_ids=pos, return_hidden=True)
+    float(h[0, -1, 0])  # compile
+    t0 = time.perf_counter()
+    h, cache = chunked_prefill(llm, lcfg, cache, input_ids=ids,
+                               rope_pos_ids=pos, return_hidden=True)
+    float(h[0, -1, 0])
+    dt = time.perf_counter() - t0 - RTT
+    return dt
+
+
 def _train_bench(jax, jnp, cfg, params, seq_len: int = 8192,
                  tiles: int = 8, steps: int = 2):
     """Full fwd+bwd+Adam training step throughput (remat, chunked CE) on
@@ -445,6 +473,11 @@ def main():
         extras.update(_kernel_tflops(jax, jnp, cfg))
     except Exception as e:
         extras["kernel_tflops_error"] = repr(e)[:200]
+    try:
+        extras["turn_prefill_ms_2k_over_32k"] = round(
+            _turn_prefill_bench(jax, jnp, cfg, params) * 1000, 1)
+    except Exception as e:
+        extras["turn_prefill_error"] = repr(e)[:200]
     try:
         # LAST: the train step donates (consumes) the params buffers
         extras["train_tok_s_8k_8tiles"] = round(

@@ -198,14 +198,46 @@ def attention_forward(
                 cache.lengths, li, interpret=interp,
                 k_scales=cache.k_scales, v_scales=cache.v_scales)
     elif paged is not None:
-        # prefill into an empty paged cache: the prompt attends only to
-        # itself — plain (segment-masked) flash over the fresh k/v; the
-        # caller scatters the ys into pages once
+        # prefill into the paged cache. Empty cache: the prompt attends
+        # only to itself — plain (segment-masked) flash over the fresh
+        # k/v; the caller scatters the ys into pages once. Nonempty cache
+        # (chunked prefill, paged[2] True): the chunk ALSO attends over
+        # the existing pages via the page-sweep kernel, merged with its
+        # self-attention by logsumexp — the multi-turn serving path that
+        # avoids re-prefilling the history.
+        cache, li = paged[:2]
+        attend_cache = len(paged) > 2 and paged[2] is not None
         new_cache = (k, v)
-        out = flash_attention(
-            q, k, v, q_segment_ids=segment_ids,
-            kv_segment_ids=segment_ids, q_positions=positions,
-            kv_positions=positions, causal=True, impl=attn_impl)
+        if attend_cache:
+            from v2pe_tpu.ops.attention import flash_attention_with_lse
+            from v2pe_tpu.ops.paged_attention import (merge_lse,
+                                                      paged_prefill_attention)
+            from v2pe_tpu.parallel import context as pctx
+
+            assert pctx.current() is None, \
+                "chunked prefill onto a nonempty cache is single-device " \
+                "(TP/seq sharding for this path is not wired yet)"
+            # paged[2] holds THIS layer's pool slices taken from the scan's
+            # CARRIED buffers (llm_forward slices per step): reading
+            # cache.k_pages directly here would read the pre-scan buffers
+            # while the carry scatters them in place — XLA then keeps two
+            # full pools alive (+6.4 GB at 32k, an OOM)
+            k5, v5, ks5, vs5 = paged[2]
+            interp = jax.default_backend() != "tpu"
+            impl = attn_impl if attn_impl != "auto" else (
+                "jnp" if interp else "pallas")
+            out1, lse1 = flash_attention_with_lse(
+                q, k, v, q_segment_ids=segment_ids,
+                kv_segment_ids=segment_ids, causal=True, impl=impl)
+            out2, lse2 = paged_prefill_attention(
+                q, k5, v5, cache.page_table, cache.lengths, jnp.int32(0),
+                interpret=interp, k_scales=ks5, v_scales=vs5)
+            out = merge_lse(out1, lse1, out2, lse2)
+        else:
+            out = flash_attention(
+                q, k, v, q_segment_ids=segment_ids,
+                kv_segment_ids=segment_ids, q_positions=positions,
+                kv_positions=positions, causal=True, impl=attn_impl)
     elif kv_cache_layer is not None and S <= 16 and cache_write_only_new:
         k_buf, v_buf = kv_cache_layer
         out = _two_part_decode_attention(
@@ -383,6 +415,8 @@ def llm_forward(
     kv_cache: Optional[KVCache] = None,
     kv_valid: Optional[jnp.ndarray] = None,
     paged_cache=None,  # Optional[PagedKVCache] — read-only inside
+    paged_attend_cache: bool = False,  # chunked prefill: the (>16-token)
+    # fresh chunk also attends over the EXISTING pages (multi-turn serving)
     remat: bool = False,
     return_hidden: bool = False,
 ):
@@ -501,10 +535,24 @@ def llm_forward(
 
         def scan_body(carry, lp):
             x, kp, vp, ksc, vsc, li = carry
+            slices = None
+            if paged_attend_cache:
+                # this layer's pool view FROM THE CARRY (see
+                # attention_forward's attend_cache note)
+                def sl(flat, shape):
+                    s = jax.lax.dynamic_index_in_dim(flat, li, 0,
+                                                     keepdims=True)
+                    return s.reshape(shape)
+
+                k5 = sl(kp, (1, Hkv, NP, ps, hd))
+                v5 = sl(vp, (1, Hkv, NP, ps, hd))
+                ks5 = sl(ksc, (1, Hkv, NP, 1, ps)) if quant else None
+                vs5 = sl(vsc, (1, Hkv, NP, 1, ps)) if quant else None
+                slices = (k5, v5, ks5, vs5)
             x, (k_new, v_new) = layer_forward(
                 lp, cfg, x, cos, sin, segment_ids=segment_ids,
                 positions=positions, attn_impl=attn_impl,
-                paged=(paged_cache, li))
+                paged=(paged_cache, li, slices))
             if quant:
                 from v2pe_tpu.infer.paged_kv import quantize_kv
 

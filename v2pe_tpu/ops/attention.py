@@ -562,3 +562,37 @@ def flash_attention(
 
         return sharded_flash_attention(ctx, statics, *args)
     return _flash(statics, *args)
+
+
+def flash_attention_with_lse(
+    q, k, v, *,
+    q_segment_ids=None, kv_segment_ids=None, causal=True,
+    scale=None, impl: str = "auto",
+):
+    """Forward-only flash attention returning (out, lse (B, Hq, Sq) fp32) —
+    the chunked-prefill merge needs the logsumexp to combine the chunk's
+    self-attention with its page-pool attention
+    (ops/paged_attention.py:paged_prefill_attention). Inference path: no
+    custom_vjp, no sharding-context routing."""
+    B, Sq, Hq, D = q.shape
+    _, Sk, Hkv, _ = k.shape
+    if scale is None:
+        scale = D ** -0.5
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    interpret = impl == "pallas" and jax.default_backend() != "tpu"
+    if q_segment_ids is None:
+        q_segment_ids = jnp.ones((B, Sq), jnp.int32)
+    if kv_segment_ids is None:
+        kv_segment_ids = jnp.ones((B, Sk), jnp.int32)
+    pos_q = jnp.broadcast_to(jnp.arange(Sq, dtype=jnp.int32), (B, Sq))
+    pos_k = jnp.broadcast_to(jnp.arange(Sk, dtype=jnp.int32), (B, Sk))
+    statics = AttnStatics(causal=causal, scale=float(scale),
+                          block_q=int(os.environ.get("V2PE_ATTN_BLOCK_Q",
+                                                     512)),
+                          block_k=int(os.environ.get("V2PE_ATTN_BLOCK_K",
+                                                     1024)),
+                          impl=impl, ordered=True, interpret=interpret)
+    return _fwd_dispatch(statics, q, k, v,
+                         q_segment_ids.astype(jnp.int32),
+                         kv_segment_ids.astype(jnp.int32), pos_q, pos_k)

@@ -423,6 +423,175 @@ def paged_decode_attention(
 
 
 # ---------------------------------------------------------------------------
+# chunked-prefill attention: a fresh q CHUNK against the page pool
+# ---------------------------------------------------------------------------
+
+
+def _prefill_kernel(pt_ref, len_ref, layer_ref,                  # SMEM
+                    *refs, page_size: int, num_pages: int, G: int,
+                    scale: float, quantized: bool):
+    if quantized:
+        q_ref, kp_ref, vp_ref, ksp_ref, vsp_ref = refs[:5]
+        rest = refs[5:]
+    else:
+        q_ref, kp_ref, vp_ref = refs[:3]
+        ksp_ref = vsp_ref = None
+        rest = refs[3:]
+    out_ref, lse_ref, acc_ref, m_ref, l_ref = rest
+    b = pl.program_id(0)
+    j = pl.program_id(3)
+    length = len_ref[b]                    # cache tokens (chunk excluded)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    # every fresh token sees every cache slot (< length): the chunk sits
+    # strictly after the cache, so there is no within-block causality here
+    @pl.when((pt_ref[b, j] >= 0) & (j * page_size < length))
+    def _page():
+        q = q_ref[0, 0].astype(jnp.float32) * scale       # (bq, hd)
+        k = kp_ref[0, 0, 0].astype(jnp.float32)           # (ps, hd)
+        v = vp_ref[0, 0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if quantized:
+            s = s * ksp_ref[0, 0, 0]                      # (1, ps)
+        bq = q.shape[0]
+        slot = j * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, page_size), 1)
+        sm = jnp.where(slot < length, s, NEG_INF)
+        m_prev, l_prev = m_ref[:, :1], l_ref[:, :1]
+        m_new = jnp.maximum(jnp.maximum(
+            m_prev, jnp.max(sm, axis=-1, keepdims=True)), NEG_INF / 2)
+        corr = jnp.exp(m_prev - m_new)
+        e = jnp.exp(sm - m_new)
+        l_ref[...] = jnp.broadcast_to(
+            l_prev * corr + jnp.sum(e, axis=-1, keepdims=True), l_ref.shape)
+        if quantized:
+            e = e * vsp_ref[0, 0, 0]
+        pv = jax.lax.dot_general(e, v, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * corr + pv
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(j == num_pages - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        l_safe = jnp.where(l > 0, l, 1.0)
+        out_ref[0, 0] = (acc_ref[...] / l_safe).astype(out_ref.dtype)
+        m = m_ref[:, :1]
+        lse_ref[0, 0] = jnp.where(l > 0, m + jnp.log(l_safe), NEG_INF)
+
+
+def merge_lse(out1, lse1, out2, lse2):
+    """Logsumexp-merge two attention partials over disjoint key sets
+    (the ring-attention contract): out* (B, S, H, hd), lse* (B, H, S)
+    fp32; all-masked partials carry lse = NEG_INF and contribute zero."""
+    m = jnp.maximum(lse1, lse2)
+    w1 = jnp.where(lse1 <= NEG_INF / 2, 0.0, jnp.exp(lse1 - m))
+    w2 = jnp.where(lse2 <= NEG_INF / 2, 0.0, jnp.exp(lse2 - m))
+    den = jnp.maximum(w1 + w2, 1e-30)
+    w1 = jnp.moveaxis(w1 / den, 1, 2)[..., None]       # (B, S, H, 1)
+    w2 = jnp.moveaxis(w2 / den, 1, 2)[..., None]
+    out = out1.astype(jnp.float32) * w1 + out2.astype(jnp.float32) * w2
+    return out.astype(out1.dtype)
+
+
+def paged_prefill_attention(
+    q: jnp.ndarray,         # (B, S, Hq, hd) fresh CHUNK, rope applied
+    k_pages: jnp.ndarray,   # (L, Hkv, NP, ps, hd)
+    v_pages: jnp.ndarray,
+    page_table: jnp.ndarray,   # (B, MP)
+    lengths: jnp.ndarray,      # (B,) cache tokens (chunk NOT included)
+    layer: jnp.ndarray,        # () int32
+    *,
+    scale: float | None = None,
+    block_q: int = 512,
+    interpret: bool = False,
+    k_scales=None, v_scales=None,
+):
+    """Chunked-prefill attention of a fresh multi-token chunk over the
+    paged cache ONLY (slots < lengths): flash-style kernel whose kv blocks
+    are pool pages resolved through the scalar-prefetched page table —
+    the prompt never materializes the cache. Returns (out, lse) fp32-lse
+    for the caller's logsumexp merge with the chunk's self-attention
+    (infer/chunked_prefill.py). The serving pattern the reference lacks:
+    multi-turn chat at long context re-prefills the whole history
+    (modeling_internvl_chat.py chat() rebuilds the prompt); here the new
+    turn attends to the existing pool directly."""
+    B, S, Hq, hd = q.shape
+    L, Hkv, NP, ps, _ = k_pages.shape
+    G = Hq // Hkv
+    MP = page_table.shape[1]
+    if scale is None:
+        scale = hd ** -0.5
+    quantized = k_scales is not None
+
+    from v2pe_tpu.ops.flash_pallas import pick_block
+
+    bq = pick_block(S, block_q) if S >= 128 else S
+    nq = _round_up(S, bq) // bq if S >= 128 else 1
+    Sp = nq * bq
+    qt = jnp.swapaxes(q, 1, 2)                       # (B, Hq, S, hd)
+    if Sp != S:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+
+    def q_index(b, h, i, j, *_):
+        return (b, h, i, 0)
+
+    def page_index(b, h, i, j, pt, lens, lyr):
+        return (lyr[0], jax.lax.div(h, G), jnp.maximum(pt[b, j], 0), 0, 0)
+
+    def spage_index(b, h, i, j, pt, lens, lyr):
+        return (lyr[0], jax.lax.div(h, G), jnp.maximum(pt[b, j], 0), 0, 0)
+
+    operands = [page_table.astype(jnp.int32), lengths, layer.reshape(1), qt]
+    in_specs = [pl.BlockSpec((1, 1, bq, hd), q_index)]
+    operands += [k_pages, v_pages]
+    in_specs += [pl.BlockSpec((1, 1, 1, ps, hd), page_index)] * 2
+    if quantized:
+        operands += [k_scales, v_scales]
+        in_specs += [pl.BlockSpec((1, 1, 1, 1, ps), spage_index)] * 2
+
+    kernel = functools.partial(
+        _prefill_kernel, page_size=ps, num_pages=MP, G=G,
+        scale=float(scale), quantized=quantized)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, Hq, nq, MP),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, 1, bq, hd), q_index),
+                pl.BlockSpec((1, 1, bq, 1), q_index),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bq, hd), jnp.float32),
+                pltpu.VMEM((bq, LANES), jnp.float32),
+                pltpu.VMEM((bq, LANES), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hq, Sp, hd), q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, Sp, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=(64 * 1024 * 1024) if quantized else None,
+        ),
+        interpret=interpret,
+    )(*operands)
+    out = jnp.swapaxes(out[:, :, :S], 1, 2)          # (B, S, Hq, hd)
+    lse = lse[:, :, :S, 0]                           # (B, Hq, S)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
 # shard_map wrappers (tensor-parallel decode)
 # ---------------------------------------------------------------------------
 
