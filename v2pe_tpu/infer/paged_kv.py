@@ -147,6 +147,10 @@ def allocate_rows(cache: PagedKVCache, new_lengths: jnp.ndarray
     have = -(-cache.lengths // ps)
     slot = jnp.arange(MP, dtype=jnp.int32)[None, :]
     take = (slot >= have[:, None]) & (slot < need[:, None])  # (B, MP)
+    # idempotent: slots that already hold a page keep it (a session that
+    # rolls generated tokens back by resetting lengths reuses the pages
+    # its decode allocated instead of leaking them from the bump head)
+    take &= cache.page_table == -1
     shard = slot % n                                         # (1, MP)->(B,MP)
     shard = jnp.broadcast_to(shard, take.shape)
     # rank of each new page within its shard's allocation batch, in
