@@ -254,6 +254,8 @@ def _turn_prefill_bench(jax, jnp, cfg, params, hist: int = 32768,
     h, cache = chunked_prefill(llm, lcfg, cache, input_ids=ids,
                                rope_pos_ids=pos, return_hidden=True)
     float(h[0, -1, 0])  # compile
+    # reset to the labeled 32k history (the warm-up advanced lengths)
+    cache = cache._replace(lengths=jnp.full((1,), hist, jnp.int32))
     t0 = time.perf_counter()
     h, cache = chunked_prefill(llm, lcfg, cache, input_ids=ids,
                                rope_pos_ids=pos, return_hidden=True)

@@ -162,8 +162,11 @@ def combine_images(image_paths: Sequence[str],
 
     from PIL import Image
 
-    images = [Image.open(p).resize(resize_to, Image.LANCZOS).convert("RGBA")
-              for p in image_paths]
+    images = []
+    for path in image_paths:
+        with Image.open(path) as im:   # close fds promptly: whole-dataset
+            images.append(im.resize(resize_to,   # runs touch thousands
+                                    Image.LANCZOS).convert("RGBA"))
     grid_w = math.ceil(math.sqrt(len(images)))
     grid_h = math.ceil(len(images) / grid_w)
     out = Image.new("RGB", (grid_w * resize_to[0], grid_h * resize_to[1]))
@@ -192,6 +195,9 @@ def combine_milebench_dataset(data_dir: str, dataset_name: str,
     for item in json_data["data"]:
         names = item["task_instance"]["images_path"]
         paths = [os.path.join(img_dir, n) for n in names]
+        if not paths:  # text-only sample: nothing to combine
+            item["task_instance"][f"combined_{max_img_num}_images"] = []
+            continue
         combine_num = (len(paths) - 1) // max_img_num + 1
         outs = []
         for idx, start in enumerate(range(0, len(paths), combine_num)):

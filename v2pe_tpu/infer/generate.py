@@ -153,8 +153,27 @@ def generate(
     last_pos = jnp.take_along_axis(rope_pos_ids,
                                    (prompt_lengths[:, None] - 1), axis=1)[:, 0]
 
+    out, t, lens, _ = decode_from_logits(
+        llm, cfg.llm, gc, cache, last_logits, last_pos, rng,
+        attn_impl=attn_impl, kv_valid_at=None if cache_mode == "paged"
+        else kv_valid_at)
+    return out, t, lens
+
+
+def decode_from_logits(llm, lcfg, gc: GenerationConfig, cache, last_logits,
+                       last_pos, rng, *, attn_impl: str = "auto",
+                       kv_valid_at=None):
+    """The shared decode while-loop: sample token 0 from ``last_logits``
+    (the prefill's last-position logits), then decode token-by-token over
+    ``cache`` — a PagedKVCache (paged kernels; ``kv_valid_at=None``) or a
+    dense KVCache (pass its ``kv_valid_at(t)`` mask fn). Used by
+    :func:`generate` and the persistent :class:`~v2pe_tpu.infer.session.
+    ChatSession`; traced into the caller's jit. Returns
+    (out (B, max_new), steps, lens (B,), cache)."""
+    B = last_logits.shape[0]
     eos = jnp.asarray(gc.eos_token_ids, jnp.int32) if gc.eos_token_ids \
         else jnp.zeros((0,), jnp.int32)
+    paged = kv_valid_at is None
 
     def cond(state):
         t, _, _, _, done, _, _, _ = state
@@ -164,19 +183,19 @@ def generate(
         t, tok, pos, cache, done, out, lens, key = state
         key, sub = jax.random.split(key)
         emb = llm["tok_embeddings"][tok][:, None, :]
-        if cache_mode == "paged":
+        if paged:
             from v2pe_tpu.infer import paged_kv as pk
 
             cache = pk.allocate_rows(cache, jnp.ones((B,), jnp.int32))
             # write-then-attend: llm_forward writes the fresh k/v into the
             # pages in place and returns the updated cache
             logits, cache = internlm2.llm_forward(
-                llm, cfg.llm, inputs_embeds=emb, rope_pos_ids=pos[:, None],
+                llm, lcfg, inputs_embeds=emb, rope_pos_ids=pos[:, None],
                 attn_impl=attn_impl, paged_cache=cache)
             cache = pk.advance_lengths(cache, 1)
         else:
             logits, cache = internlm2.llm_forward(
-                llm, cfg.llm, inputs_embeds=emb,
+                llm, lcfg, inputs_embeds=emb,
                 rope_pos_ids=pos[:, None],
                 attn_impl=attn_impl, kv_cache=cache,
                 kv_valid=kv_valid_at(t))
@@ -193,5 +212,5 @@ def generate(
     lens0 = jnp.ones((B,), jnp.int32)
     state = (jnp.int32(1), tok0, last_pos + 1.0, cache, done0, out0, lens0,
              rng)
-    t, _, _, _, _, out, lens, _ = jax.lax.while_loop(cond, body, state)
-    return out, t, lens
+    t, _, _, cache, _, out, lens, _ = jax.lax.while_loop(cond, body, state)
+    return out, t, lens, cache

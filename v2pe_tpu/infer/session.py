@@ -32,46 +32,15 @@ import numpy as np
 
 import jax
 
-from v2pe_tpu.infer.generate import GenerationConfig, _sample
+from v2pe_tpu.infer.generate import GenerationConfig, decode_from_logits
 
 
 @partial(jax.jit, static_argnames=("cfg", "gc"), donate_argnums=(1,))
 def _decode_loop(llm, cache, last_logits, last_pos, cfg, gc, rng):
-    import jax
-    import jax.numpy as jnp
-
-    from v2pe_tpu.infer import paged_kv as pk
-    from v2pe_tpu.models import internlm2
-
-    eos = jnp.asarray(gc.eos_token_ids, jnp.int32) if gc.eos_token_ids \
-        else jnp.zeros((0,), jnp.int32)
-    B = cache.lengths.shape[0]
-
-    def cond(state):
-        t, _, _, _, done, _, _, _ = state
-        return (t < gc.max_new_tokens) & ~jnp.all(done)
-
-    def body(state):
-        t, tok, pos, cache, done, out, lens, key = state
-        key, sub = jax.random.split(key)
-        cache = pk.allocate_rows(cache, jnp.ones((B,), jnp.int32))
-        logits, cache = internlm2.llm_forward(
-            llm, cfg, input_ids=tok[:, None], rope_pos_ids=pos[:, None],
-            paged_cache=cache)
-        cache = pk.advance_lengths(cache, 1)
-        nxt = _sample(logits[:, -1], gc, sub).astype(jnp.int32)
-        nxt = jnp.where(done, 0, nxt)
-        out = out.at[:, t].set(nxt)
-        lens = lens + jnp.where(done, 0, 1)
-        done = done | jnp.isin(nxt, eos) if eos.size else done
-        return (t + 1, nxt, pos + 1.0, cache, done, out, lens, key)
-
-    tok0 = _sample(last_logits, gc, rng).astype(jnp.int32)
-    out0 = jnp.zeros((B, gc.max_new_tokens), jnp.int32).at[:, 0].set(tok0)
-    done0 = jnp.isin(tok0, eos) if eos.size else jnp.zeros((B,), bool)
-    state = (jnp.int32(1), tok0, last_pos + 1.0, cache, done0, out0,
-             jnp.ones((B,), jnp.int32), rng)
-    _, _, _, cache, _, out, lens, _ = jax.lax.while_loop(cond, body, state)
+    # the shared decode loop (infer/generate.py) jitted with the session's
+    # cache donated so the pool updates in place across the turn
+    out, _, lens, cache = decode_from_logits(
+        llm, cfg, gc, cache, last_logits, last_pos, rng)
     return cache, out, lens
 
 
@@ -99,8 +68,7 @@ class ChatSession:
         self.num_patches_list = []
 
     def send(self, pixel_values: Optional[np.ndarray], question: str,
-             generation_config: Optional[GenerationConfig] = None,
-             max_num: Optional[int] = None) -> str:
+             generation_config: Optional[GenerationConfig] = None) -> str:
         """One turn: ``pixel_values`` are the NEW image's tiles (from
         ``chat_model.load_pixels``) or None for text-only."""
         import jax
@@ -128,7 +96,25 @@ class ChatSession:
                 version=version, stride=self.cfg.rope_pos_id_stride)
         else:
             pos = np.arange(len(ids), dtype=np.float32)
-        assert len(ids) <= self.max_len, "session max_len exceeded"
+        gc0 = generation_config or GenerationConfig()
+        assert len(ids) + gc0.max_new_tokens <= self.max_len, \
+            "session max_len exceeded (prompt + max_new_tokens must fit " \
+            "the pool: decode writes its kv at slots past the prompt)"
+        # tokenizers are not guaranteed prefix-stable: a BPE merge across
+        # the previous-prompt/response boundary can retokenize the shared
+        # prefix differently. Roll the consumed pointer (and the cache)
+        # back to the longest common prefix — correctness is preserved,
+        # only the divergent tail re-prefills.
+        prev = getattr(self, "_prev_ids", np.zeros(0, np.int64))
+        n = min(self.consumed, len(ids), len(prev))
+        eq = np.asarray(ids[:n]) == prev[:n]
+        common = int(eq.argmin()) if not eq.all() else n
+        if common < self.consumed:
+            import jax.numpy as jnp
+
+            self.consumed = common
+            self.cache = self.cache._replace(
+                lengths=jnp.full((1,), common, jnp.int32))
         suf_ids = ids[self.consumed:]
         suf_pos = pos[self.consumed:].astype(np.float32)
         S = len(suf_ids)
@@ -176,4 +162,5 @@ class ChatSession:
         self.history.append((question, response))
         self.num_patches_list = npl
         self.consumed = len(ids)
+        self._prev_ids = ids
         return response
