@@ -249,3 +249,44 @@ def test_llm_decode_seq_sharded_token_exact(jax8):
                 ("data", "fsdp", "seq", "tensor"))
     got = run(pctx.ShardingContext(mesh=mesh), 4)
     assert got == ref, (got, ref)
+
+
+@pytest.mark.slow
+def test_generate_paged_under_seq_mesh(jax8):
+    """generate(cache_mode='paged') inside a seq-sharded context must build
+    its pool with the mesh's n_shards (an n_shards=1 pool under a seq mesh
+    silently dropped pages from attention — review regression test) and
+    reproduce the unsharded token stream."""
+    from v2pe_tpu.core.config import LLMConfig, VLMConfig, VisionConfig
+    from v2pe_tpu.infer.generate import GenerationConfig, generate
+    from v2pe_tpu.models.params import init_vlm_params
+    from v2pe_tpu.parallel import context as pctx
+
+    cfg = VLMConfig(
+        vision=VisionConfig(hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            image_size=56, patch_size=14),
+        llm=LLMConfig(vocab_size=300, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=4))
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    nit = cfg.num_image_token
+    ids = np.concatenate([np.arange(10, 22), [290], [291] * nit, [292],
+                          np.arange(30, 39)]).astype(np.int32)[None]
+    S = ids.shape[1]
+    pos = np.arange(S, dtype=np.float32)[None]
+    pixels = np.random.RandomState(0).randn(1, 3, 56, 56).astype(np.float32)
+    gc = GenerationConfig(max_new_tokens=5)
+    args = (params, cfg, gc, jnp.asarray(ids),
+            jnp.asarray([S], jnp.int32), jnp.asarray(pos),
+            jnp.asarray(pixels), jnp.ones((1,), jnp.int32), 291)
+
+    ref, n_ref, _ = generate(*args, attn_impl="jnp", cache_mode="paged",
+                             page_size=4)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(1, 1, 4, 2),
+                ("data", "fsdp", "seq", "tensor"))
+    with pctx.use_sharding(pctx.ShardingContext(mesh=mesh)):
+        got, n_got, _ = generate(*args, attn_impl="jnp",
+                                 cache_mode="paged", page_size=4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    assert int(n_got) == int(n_ref)
