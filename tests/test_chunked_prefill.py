@@ -75,6 +75,36 @@ def test_chunked_prefill_int8_close(model):
         < 0.02
 
 
+@pytest.mark.slow
+def test_chunked_prefill_under_tp_mesh(model, jax8):
+    """Chunked prefill under a tensor-parallel context (q heads + pool kv
+    heads sharded, per-shard self+page merge) matches single-device."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from v2pe_tpu.parallel import context as pctx
+
+    cfg, params, ids, pos, full = model
+
+    def run(ctx):
+        cache = _fresh_cache(cfg)
+        off, out = 0, None
+        with pctx.use_sharding(ctx):
+            for S_c in (25, 35):
+                out, cache = chunked_prefill(
+                    params, cfg, cache, input_ids=ids[:, off:off + S_c],
+                    rope_pos_ids=pos[:, off:off + S_c], attn_impl="jnp")
+                off += S_c
+        return np.asarray(out)
+
+    ref = run(None)
+    # tensor=2 (debug_tiny: Hq=4, Hkv=2 — both divisible), seq=1
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2),
+                ("seq", "tensor"))
+    got = run(pctx.ShardingContext(mesh=mesh))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
 def test_chunked_ragged_rows(model):
     """Right-padded chunks (segment 0): pad slots neither write pages nor
     shift later chunks' positions."""

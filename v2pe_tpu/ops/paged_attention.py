@@ -591,6 +591,53 @@ def paged_prefill_attention(
     return out, lse
 
 
+def sharded_chunked_prefill_attention(
+        mesh, tensor_axis: str, q, k, v, segment_ids, k_pages, v_pages,
+        page_table, lengths, layer, *, impl: str = "auto",
+        interpret: bool = False, k_scales=None, v_scales=None):
+    """Tensor-parallel chunked-prefill attention: q heads and the pool's
+    kv heads shard over ``tensor`` (GQA groups intact per shard); each
+    shard computes its heads' self-attention AND page sweep locally and
+    merges — embarrassingly parallel, no collectives. Returns the merged
+    (B, S, Hq, hd) with Hq sharded."""
+    from jax.sharding import PartitionSpec as P
+
+    from v2pe_tpu.ops.attention import flash_attention_with_lse
+
+    B, S, Hq, hd = q.shape
+    Hkv = k_pages.shape[1]
+    nt = mesh.shape[tensor_axis] if tensor_axis else 1
+    quantized = k_scales is not None
+
+    def body(q, k, v, seg, kp, vp, pt, lens, lyr, *sc):
+        out1, lse1 = flash_attention_with_lse(
+            q, k, v, q_segment_ids=seg, kv_segment_ids=seg, causal=True,
+            impl=impl)
+        out2, lse2 = paged_prefill_attention(
+            q, kp, vp, pt, lens, lyr, interpret=interpret,
+            k_scales=sc[0] if sc else None,
+            v_scales=sc[1] if sc else None)
+        return merge_lse(out1, lse1, out2, lse2)
+
+    if nt == 1 or Hkv % nt != 0 or Hq % nt != 0:
+        return body(q, k, v, segment_ids, k_pages, v_pages, page_table,
+                    lengths, layer,
+                    *((k_scales, v_scales) if quantized else ()))
+
+    hspec = P(None, None, tensor_axis, None)
+    pspec = P(None, tensor_axis, None, None, None)
+    sc_args = (k_scales, v_scales) if quantized else ()
+    sc_specs = (pspec, pspec) if quantized else ()
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(hspec, hspec, hspec, P(None, None), pspec, pspec,
+                  P(None, None), P(None), P()) + sc_specs,
+        out_specs=hspec,
+        check_vma=False,
+    )(q, k, v, segment_ids, k_pages, v_pages, page_table, lengths, layer,
+      *sc_args)
+
+
 # ---------------------------------------------------------------------------
 # shard_map wrappers (tensor-parallel decode)
 # ---------------------------------------------------------------------------
