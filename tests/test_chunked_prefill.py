@@ -105,6 +105,38 @@ def test_chunked_prefill_under_tp_mesh(model, jax8):
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
+def test_chunked_prefill_under_seq_mesh(model, jax8):
+    """Chunked prefill with the pool seq-sharded (the 1M serving layout):
+    local page sweeps + self-attention merge via the ring lse contract
+    across shards; must match single-device."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from v2pe_tpu.parallel import context as pctx
+
+    cfg, params, ids, pos, full = model
+
+    def run(ctx, n_shards):
+        cache = pk.PagedKVCache.zeros(cfg, batch=1, n_pages=32, page_size=8,
+                                      max_pages_per_row=12,
+                                      dtype=jnp.float32, n_shards=n_shards)
+        off, out = 0, None
+        with pctx.use_sharding(ctx):
+            for S_c in (25, 35):
+                out, cache = chunked_prefill(
+                    params, cfg, cache, input_ids=ids[:, off:off + S_c],
+                    rope_pos_ids=pos[:, off:off + S_c], attn_impl="jnp")
+                off += S_c
+        return np.asarray(out)
+
+    ref = run(None, 1)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                ("seq", "tensor"))
+    got = run(pctx.ShardingContext(mesh=mesh), 4)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
 def test_chunked_ragged_rows(model):
     """Right-padded chunks (segment 0): pad slots neither write pages nor
     shift later chunks' positions."""

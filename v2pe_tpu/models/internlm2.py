@@ -212,14 +212,11 @@ def attention_forward(
             from v2pe_tpu.ops.attention import flash_attention_with_lse
             from v2pe_tpu.ops.paged_attention import (
                 merge_lse, paged_prefill_attention,
+                seq_sharded_chunked_prefill_attention,
                 sharded_chunked_prefill_attention)
             from v2pe_tpu.parallel import context as pctx
 
             ctx = pctx.current()
-            assert ctx is None or ctx.seq_shards == 1, \
-                "chunked prefill onto a nonempty cache supports TP only " \
-                "(seq-sharded pools decode via the ring merge; a " \
-                "seq-sharded chunked prefill is not wired yet)"
             # paged[2] holds THIS layer's pool slices taken from the scan's
             # CARRIED buffers (llm_forward slices per step): reading
             # cache.k_pages directly here would read the pre-scan buffers
@@ -229,7 +226,15 @@ def attention_forward(
             interp = jax.default_backend() != "tpu"
             impl = attn_impl if attn_impl != "auto" else (
                 "jnp" if interp else "pallas")
-            if ctx is not None:
+            if ctx is not None and ctx.seq_shards > 1:
+                seg = segment_ids if segment_ids is not None else \
+                    jnp.ones(x.shape[:2], jnp.int32)
+                out = seq_sharded_chunked_prefill_attention(
+                    ctx.mesh, ctx.seq_axis, ctx.tensor_axis, q, k, v, seg,
+                    k5, v5, cache.page_table, cache.lengths, jnp.int32(0),
+                    impl=impl, interpret=interp, k_scales=ks5,
+                    v_scales=vs5)
+            elif ctx is not None:
                 seg = segment_ids if segment_ids is not None else \
                     jnp.ones(x.shape[:2], jnp.int32)
                 out = sharded_chunked_prefill_attention(

@@ -427,7 +427,7 @@ def paged_decode_attention(
 # ---------------------------------------------------------------------------
 
 
-def _prefill_kernel(pt_ref, len_ref, layer_ref,                  # SMEM
+def _prefill_kernel(pt_ref, sb_ref, len_ref, layer_ref,          # SMEM
                     *refs, page_size: int, num_pages: int, G: int,
                     scale: float, quantized: bool):
     if quantized:
@@ -441,6 +441,7 @@ def _prefill_kernel(pt_ref, len_ref, layer_ref,                  # SMEM
     b = pl.program_id(0)
     j = pl.program_id(3)
     length = len_ref[b]                    # cache tokens (chunk excluded)
+    sb = sb_ref[b, j]                      # entry's global slot start
 
     @pl.when(j == 0)
     def _init():
@@ -450,7 +451,7 @@ def _prefill_kernel(pt_ref, len_ref, layer_ref,                  # SMEM
 
     # every fresh token sees every cache slot (< length): the chunk sits
     # strictly after the cache, so there is no within-block causality here
-    @pl.when((pt_ref[b, j] >= 0) & (j * page_size < length))
+    @pl.when((sb >= 0) & (sb < length))
     def _page():
         q = q_ref[0, 0].astype(jnp.float32) * scale       # (bq, hd)
         k = kp_ref[0, 0, 0].astype(jnp.float32)           # (ps, hd)
@@ -460,7 +461,7 @@ def _prefill_kernel(pt_ref, len_ref, layer_ref,                  # SMEM
         if quantized:
             s = s * ksp_ref[0, 0, 0]                      # (1, ps)
         bq = q.shape[0]
-        slot = j * page_size + jax.lax.broadcasted_iota(
+        slot = sb + jax.lax.broadcasted_iota(
             jnp.int32, (bq, page_size), 1)
         sm = jnp.where(slot < length, s, NEG_INF)
         m_prev, l_prev = m_ref[:, :1], l_ref[:, :1]
@@ -512,6 +513,9 @@ def paged_prefill_attention(
     block_q: int = 512,
     interpret: bool = False,
     k_scales=None, v_scales=None,
+    slot_base=None,  # (B, MP') global slot starts; -1 = dead entry
+    # (sequence sharding passes a compacted LOCAL page view — see
+    # seq_sharded_chunked_prefill_attention)
 ):
     """Chunked-prefill attention of a fresh multi-token chunk over the
     paged cache ONLY (slots < lengths): flash-style kernel whose kv blocks
@@ -529,6 +533,10 @@ def paged_prefill_attention(
     if scale is None:
         scale = hd ** -0.5
     quantized = k_scales is not None
+    if slot_base is None:
+        slot_base = jnp.where(
+            page_table >= 0,
+            jnp.arange(MP, dtype=jnp.int32)[None] * ps, -1)
 
     from v2pe_tpu.ops.flash_pallas import pick_block
 
@@ -542,13 +550,13 @@ def paged_prefill_attention(
     def q_index(b, h, i, j, *_):
         return (b, h, i, 0)
 
-    def page_index(b, h, i, j, pt, lens, lyr):
+    def page_index(b, h, i, j, pt, sb, lens, lyr):
         return (lyr[0], jax.lax.div(h, G), jnp.maximum(pt[b, j], 0), 0, 0)
 
-    def spage_index(b, h, i, j, pt, lens, lyr):
-        return (lyr[0], jax.lax.div(h, G), jnp.maximum(pt[b, j], 0), 0, 0)
+    spage_index = page_index
 
-    operands = [page_table.astype(jnp.int32), lengths, layer.reshape(1), qt]
+    operands = [page_table.astype(jnp.int32), slot_base.astype(jnp.int32),
+                lengths, layer.reshape(1), qt]
     in_specs = [pl.BlockSpec((1, 1, bq, hd), q_index)]
     operands += [k_pages, v_pages]
     in_specs += [pl.BlockSpec((1, 1, 1, ps, hd), page_index)] * 2
@@ -562,7 +570,7 @@ def paged_prefill_attention(
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(B, Hq, nq, MP),
             in_specs=in_specs,
             out_specs=[
@@ -626,6 +634,87 @@ def sharded_chunked_prefill_attention(
 
     hspec = P(None, None, tensor_axis, None)
     pspec = P(None, tensor_axis, None, None, None)
+    sc_args = (k_scales, v_scales) if quantized else ()
+    sc_specs = (pspec, pspec) if quantized else ()
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(hspec, hspec, hspec, P(None, None), pspec, pspec,
+                  P(None, None), P(None), P()) + sc_specs,
+        out_specs=hspec,
+        check_vma=False,
+    )(q, k, v, segment_ids, k_pages, v_pages, page_table, lengths, layer,
+      *sc_args)
+
+
+def seq_sharded_chunked_prefill_attention(
+        mesh, seq_axis: str, tensor_axis, q, k, v, segment_ids, k_pages,
+        v_pages, page_table, lengths, layer, *, impl: str = "auto",
+        interpret: bool = False, k_scales=None, v_scales=None):
+    """Chunked-prefill attention over a page pool sharded on the ``seq``
+    mesh axis (composable with kv-head ``tensor`` sharding): every shard
+    computes the chunk's causal self-attention locally (q replicated over
+    ``seq`` — only shard 0's copy is counted in the merge) plus the page
+    sweep over ITS pages (compacted local table with global slot bases),
+    then the partials combine with the ring logsumexp contract via two
+    psums over ICI. This is the multi-turn serving path on the 1M-context
+    layout — a new chat turn prefills against a pool whose history is
+    physically spread over the slice."""
+    from jax.sharding import PartitionSpec as P
+
+    from v2pe_tpu.ops.attention import flash_attention_with_lse
+
+    n_seq = mesh.shape[seq_axis]
+    if n_seq == 1:
+        return sharded_chunked_prefill_attention(
+            mesh, tensor_axis, q, k, v, segment_ids, k_pages, v_pages,
+            page_table, lengths, layer, impl=impl, interpret=interpret,
+            k_scales=k_scales, v_scales=v_scales)
+    nt = mesh.shape[tensor_axis] if tensor_axis else 1
+    Hkv = k_pages.shape[1]
+    Hq = q.shape[2]
+    head_ax = tensor_axis if (nt > 1 and Hkv % nt == 0
+                              and Hq % nt == 0) else None
+    NP = k_pages.shape[2]
+    ps = k_pages.shape[3]
+    quantized = k_scales is not None
+
+    def body(q, k, v, seg, kp, vp, pt, lens, lyr, *sc):
+        d = jax.lax.axis_index(seq_axis)
+        pt_l, slot_idx, _ = _local_page_view(pt, seq_axis, n_seq, NP)
+        sb = jnp.where(slot_idx >= 0, slot_idx * ps, -1)
+        out2, lse2 = paged_prefill_attention(
+            q, kp, vp, pt_l, lens, lyr, interpret=interpret, slot_base=sb,
+            k_scales=sc[0] if sc else None,
+            v_scales=sc[1] if sc else None)
+        out1, lse1 = flash_attention_with_lse(
+            q, k, v, q_segment_ids=seg, kv_segment_ids=seg, causal=True,
+            impl=impl)
+        # count the (replicated) self part exactly once
+        lse1 = jnp.where(d == 0, lse1, NEG_INF)
+        # local pairwise merge -> (out_loc, lse_loc), then the cross-shard
+        # ring-contract combine
+        m = jnp.maximum(jnp.maximum(lse1, lse2), NEG_INF / 2)
+        w1 = jnp.where(lse1 <= NEG_INF / 2, 0.0, jnp.exp(lse1 - m))
+        w2 = jnp.where(lse2 <= NEG_INF / 2, 0.0, jnp.exp(lse2 - m))
+        wsum = w1 + w2
+        num_loc = (out1.astype(jnp.float32)
+                   * jnp.moveaxis(w1, 1, 2)[..., None]
+                   + out2.astype(jnp.float32)
+                   * jnp.moveaxis(w2, 1, 2)[..., None])
+        lse_loc = jnp.where(wsum > 0, m + jnp.log(jnp.maximum(wsum, 1e-30)),
+                            NEG_INF)
+        out_loc = num_loc / jnp.moveaxis(jnp.maximum(wsum, 1e-30),
+                                         1, 2)[..., None]
+        mg = jax.lax.pmax(lse_loc, seq_axis)
+        w = jnp.where(lse_loc <= NEG_INF / 2, 0.0, jnp.exp(lse_loc - mg))
+        num = jax.lax.psum(out_loc * jnp.moveaxis(w, 1, 2)[..., None],
+                           seq_axis)
+        den = jnp.moveaxis(jnp.maximum(jax.lax.psum(w, seq_axis), 1e-30),
+                           1, 2)[..., None]
+        return (num / den).astype(q.dtype)
+
+    hspec = P(None, None, head_ax, None)
+    pspec = P(None, head_ax, seq_axis, None, None)
     sc_args = (k_scales, v_scales) if quantized else ()
     sc_specs = (pspec, pspec) if quantized else ()
     return jax.shard_map(
