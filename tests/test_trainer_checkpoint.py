@@ -80,14 +80,30 @@ def test_checkpoint_roundtrip_exact(tmp_path):
     tx = build_optimizer(tc, params)
     opt_state = tx.init(params)
 
+    import dataclasses
+
+    cfg_saved = dataclasses.replace(cfg, rope_pos_id_stride=32)
     path = ckpt_lib.save_checkpoint(str(tmp_path), 7, params, opt_state,
                                     data_state={"cursors": {"a": 3},
                                                 "epochs": {"a": 0},
                                                 "rng_state": (1, (2, 3), None),
-                                                "pushback_ref": ("a", 5)})
+                                                "pushback_ref": ("a", 5)},
+                                    cfg=cfg_saved)
     p2, o2, step, ds = ckpt_lib.restore_checkpoint(path, params, opt_state)
     assert step == 7
     assert ds["cursors"] == {"a": 3}
     assert tuple(ds["pushback_ref"]) == ("a", 5)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the pipeline config rides the checkpoint (the reference persists all
+    # V2PE knobs in the HF config so eval reads them back — see
+    # core/checkpoint.py); roundtrip must preserve every field
+    import os
+
+    from v2pe_tpu.core.config import VLMConfig
+
+    with open(os.path.join(path, "config.json")) as f:
+        cfg_back = VLMConfig.from_json(f.read())
+    assert cfg_back == cfg_saved
+    assert cfg_back.rope_pos_id_stride == 32

@@ -27,7 +27,8 @@ def _ocp():
 
 def save_checkpoint(ckpt_dir: str, step: int, params, opt_state,
                     data_state: Optional[dict] = None,
-                    save_total_limit: Optional[int] = None):
+                    save_total_limit: Optional[int] = None,
+                    cfg=None):
     """Multi-host aware: the orbax saves are collective (all processes must
     call this); the packed-data iterator state is PER-HOST (each host packs
     its own dataset shard) so it lands in ``data_state_p{i}.pkl``; meta.json
@@ -47,6 +48,14 @@ def save_checkpoint(ckpt_dir: str, step: int, params, opt_state,
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump({"step": step,
                        "num_processes": jax.process_count()}, f)
+        if cfg is not None:
+            # persist the full pipeline config with the weights (the
+            # reference serializes every V2PE knob into the HF config so
+            # eval reads rope_pos_id_stride etc. from the checkpoint —
+            # configuration_internvl_chat.py:101-131, eval_milebench.py:
+            # 226-230); evalkit's load_chat_model picks this up
+            with open(os.path.join(path, "config.json"), "w") as f:
+                f.write(cfg.to_json())
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 

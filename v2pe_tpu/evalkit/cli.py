@@ -83,6 +83,17 @@ def load_chat_model(args):
     from v2pe_tpu.models.params import load_safetensors_checkpoint
 
     cfg = getattr(cfg_lib, args.config_preset)()
+    # the trainer persists the full pipeline config with each checkpoint
+    # (config.json — the reference's PretrainedConfig analogue); prefer it
+    # over the preset so eval reads rope_pos_id_stride etc. from the
+    # checkpoint (eval_milebench.py:226-230 behavior). Explicit CLI flags
+    # still override below.
+    ckpt_cfg = os.path.join(args.checkpoint, "config.json")
+    if os.path.isfile(ckpt_cfg):
+        from v2pe_tpu.core.config import VLMConfig
+
+        with open(ckpt_cfg) as f:
+            cfg = VLMConfig.from_json(f.read())
     if args.rope_pos_id_version:
         cfg = dataclasses.replace(cfg,
                                   rope_pos_id_version=args.rope_pos_id_version)

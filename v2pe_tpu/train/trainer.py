@@ -182,7 +182,7 @@ def train(
                     run.output_dir, step + 1, params, opt_state,
                     data_state=(consumed_state if consumed_state is not None
                                 else packer.state_dict()),
-                    save_total_limit=run.save_total_limit)
+                    save_total_limit=run.save_total_limit, cfg=cfg)
                 logger.info("saved %s", path)
     finally:
         prefetch.stop()
