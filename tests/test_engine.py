@@ -1,0 +1,152 @@
+"""Continuous-batching engine: interleaved multi-request decode over the
+shared page pool must reproduce each request's isolated generation
+token-for-token, reclaim pages at completion, and admit queued requests
+mid-stream."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from v2pe_tpu.core.config import LLMConfig, VLMConfig, VisionConfig
+from v2pe_tpu.infer.chat import ChatModel
+from v2pe_tpu.infer.generate import GenerationConfig
+from v2pe_tpu.serve.engine import InferenceEngine, PageAllocator
+
+
+@pytest.fixture(scope="module")
+def chat_model():
+    from .test_data_pipeline import _toy_tokenizer
+
+    from v2pe_tpu.models.params import init_vlm_params
+
+    tok = _toy_tokenizer()
+    cfg = VLMConfig(
+        vision=VisionConfig(hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            image_size=56, patch_size=14),
+        llm=LLMConfig(vocab_size=len(tok), hidden_size=32,
+                      intermediate_size=64, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2),
+        max_dynamic_patch=2)
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    return ChatModel(params, cfg, tok, attn_impl="jnp")
+
+
+def _engine(chat_model, **kw):
+    kw.setdefault("max_rows", 2)
+    kw.setdefault("max_len", 1024)
+    kw.setdefault("page_size", 8)
+    kw.setdefault("chunk_size", 64)
+    kw.setdefault("decode_block", 4)
+    return InferenceEngine(chat_model, **kw)
+
+
+QUESTIONS = ["Describe the picture.", "What color?", "Count the objects."]
+
+
+def test_engine_matches_isolated_chat(chat_model):
+    """3 requests through a 2-row engine (third queues until a row frees)
+    reproduce chat()'s greedy output per request."""
+    from PIL import Image
+
+    img = Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (64, 80, 3), np.uint8))
+    pv, _ = chat_model.load_pixels(img)
+    gc = GenerationConfig(max_new_tokens=6)
+
+    refs = [chat_model.chat(pv, QUESTIONS[0], gc),
+            chat_model.chat(None, QUESTIONS[1], gc),
+            chat_model.chat(None, QUESTIONS[2], gc)]
+
+    eng = _engine(chat_model)
+    reqs = [eng.submit_chat(pv, QUESTIONS[0], max_new_tokens=6),
+            eng.submit_chat(None, QUESTIONS[1], max_new_tokens=6),
+            eng.submit_chat(None, QUESTIONS[2], max_new_tokens=6)]
+    eng.run_until_idle()
+    got = [r.result(timeout=0) for r in reqs]
+    assert got == refs
+
+
+def test_engine_mid_stream_admission(chat_model):
+    """A request submitted while another is mid-decode is admitted into a
+    free row without disturbing the in-flight generation."""
+    gc = GenerationConfig(max_new_tokens=8)
+    ref_a = chat_model.chat(None, QUESTIONS[1], gc)
+    ref_b = chat_model.chat(None, QUESTIONS[2], gc)
+
+    eng = _engine(chat_model)
+    ra = eng.submit_chat(None, QUESTIONS[1], max_new_tokens=8)
+    assert eng.step()                      # admit A + first decode block
+    assert eng._active.any()
+    rb = eng.submit_chat(None, QUESTIONS[2], max_new_tokens=8)
+    eng.run_until_idle()
+    assert ra.result(timeout=0) == ref_a
+    assert rb.result(timeout=0) == ref_b
+
+
+def test_engine_reclaims_pages(chat_model):
+    eng = _engine(chat_model)
+    total = eng.allocator.available
+    reqs = [eng.submit_chat(None, q, max_new_tokens=5) for q in QUESTIONS]
+    eng.run_until_idle()
+    assert all(r.finished.is_set() for r in reqs)
+    assert eng.allocator.available == total
+    assert np.all(np.asarray(eng.cache.page_table) == -1)
+    assert np.all(np.asarray(eng.cache.lengths) == 0)
+    # rows reusable: a fourth request still works
+    r4 = eng.submit_chat(None, QUESTIONS[0], max_new_tokens=5)
+    eng.run_until_idle()
+    assert r4.finished.is_set() and isinstance(r4.result(timeout=0), str)
+
+
+def test_engine_row_reuse_matches(chat_model):
+    """Requests served on REUSED rows (after earlier retirements wrote and
+    freed the same physical pages) still match isolated runs."""
+    gc = GenerationConfig(max_new_tokens=7)
+    refs = [chat_model.chat(None, q, gc) for q in QUESTIONS * 2]
+    eng = _engine(chat_model)
+    reqs = [eng.submit_chat(None, q, max_new_tokens=7)
+            for q in QUESTIONS * 2]
+    eng.run_until_idle()
+    assert [r.result(timeout=0) for r in reqs] == refs
+
+
+def test_engine_streaming_and_thread(chat_model):
+    """Background-thread mode: token queue streams and result() blocks
+    until completion."""
+    eng = _engine(chat_model)
+    eng.start()
+    try:
+        req = eng.submit_chat(None, QUESTIONS[0], max_new_tokens=5)
+        text = req.result(timeout=120)
+        assert req.finished.is_set()
+        toks = []
+        while True:
+            t = req.token_queue.get(timeout=10)
+            if t is None:
+                break
+            toks.append(t)
+        assert toks == req.tokens and 0 < len(toks) <= 5
+        assert text == chat_model._decode(np.asarray(toks), len(toks))
+    finally:
+        eng.stop()
+
+
+def test_engine_rejects_oversized(chat_model):
+    eng = _engine(chat_model, max_len=64)
+    with pytest.raises(ValueError):
+        eng.submit(np.arange(10), np.arange(10, dtype=np.float32),
+                   max_new_tokens=60)
+
+
+def test_page_allocator():
+    a = PageAllocator(8)
+    assert a.available == 7                 # page 0 reserved
+    p1 = a.alloc(3)
+    p2 = a.alloc(4)
+    assert a.alloc(1) is None
+    assert 0 not in p1 + p2 and len(set(p1 + p2)) == 7
+    a.release(p1)
+    assert a.available == 3
+    assert sorted(a.alloc(3)) == sorted(p1)

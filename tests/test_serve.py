@@ -51,6 +51,54 @@ def test_worker_status(worker_server):
     assert status["model_names"] == ["tiny"]
 
 
+def test_worker_engine_mode_concurrent(worker_server):
+    """Engine-backed worker: two concurrent HTTP generations stream
+    through the shared continuous-batching engine and both complete with
+    the same text the per-request path produces."""
+    from v2pe_tpu.serve.engine import InferenceEngine
+
+    url, worker = worker_server
+
+    def fetch(payload):
+        req = urllib.request.Request(
+            url + "/worker_generate_stream",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            raw = r.read()
+        chunks = [json.loads(c) for c in raw.split(b"\0") if c]
+        assert all(c["error_code"] == 0 for c in chunks)
+        return chunks[-1]["text"] if chunks else ""
+
+    payloads = [{"prompt": "<|im_start|>user\nSay A.<|im_end|>"
+                           "<|im_start|>assistant\n",
+                 "max_new_tokens": 6, "temperature": 0.0},
+                {"prompt": "<|im_start|>user\nCount to three.<|im_end|>"
+                           "<|im_start|>assistant\n",
+                 "max_new_tokens": 6, "temperature": 0.0}]
+    refs = [fetch(p) for p in payloads]        # per-request path
+
+    engine = InferenceEngine(worker.model, max_rows=2, max_len=512,
+                             page_size=8, chunk_size=64, decode_block=4)
+    worker.engine = engine
+    engine.start()
+    try:
+        results = [None, None]
+
+        def run(i):
+            results[i] = fetch(payloads[i])
+
+        ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+        assert results == refs
+    finally:
+        worker.engine = None
+        engine.stop()
+
+
 def test_worker_generate_stream(worker_server):
     from PIL import Image
 

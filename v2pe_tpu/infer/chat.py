@@ -77,6 +77,26 @@ class ChatModel:
             query = query.replace("<image>", tokens, 1)
         return query
 
+    def encode_chat(self, question: str, num_patches_list, history=None,
+                    rope_pos_id_version: Optional[str] = None,
+                    rope_pos_id_stride: Optional[int] = None):
+        """Template + tokenize + V2PE positions for one chat turn: returns
+        (ids int64, pos float32, query str). Shared by :meth:`chat`, the
+        serving worker, and the continuous-batching engine."""
+        query = self.build_query(question, num_patches_list, history)
+        ids = np.asarray(self.tokenizer(query)["input_ids"], np.int64)
+        version = rope_pos_id_version or self.cfg.rope_pos_id_version
+        stride = rope_pos_id_stride or self.cfg.rope_pos_id_stride
+        if num_patches_list and version != "default":
+            pos = build_v2pe_pos_ids(
+                ids, np.ones_like(ids), num_patches_list,
+                img_start_id=self.img_start_id, img_end_id=self.img_end_id,
+                num_image_token=self.cfg.num_image_token,
+                version=version, stride=stride)
+        else:
+            pos = np.arange(len(ids), dtype=np.float32)
+        return ids, pos.astype(np.float32), query
+
     # ---------------------------------------------------------------- chat
     def chat(
         self,
@@ -100,21 +120,10 @@ class ChatModel:
         if history is None and pixel_values is not None \
                 and "<image>" not in question:
             question = "<image>\n" + question
-        query = self.build_query(question, num_patches_list, history)
-        enc = self.tokenizer(query)
-        ids = np.asarray(enc["input_ids"], np.int64)
-        mask = np.ones_like(ids)
-
-        version = rope_pos_id_version or self.cfg.rope_pos_id_version
-        stride = rope_pos_id_stride or self.cfg.rope_pos_id_stride
-        if num_patches_list and version != "default":
-            pos = build_v2pe_pos_ids(
-                ids, mask, num_patches_list,
-                img_start_id=self.img_start_id, img_end_id=self.img_end_id,
-                num_image_token=self.cfg.num_image_token,
-                version=version, stride=stride)
-        else:
-            pos = np.arange(len(ids), dtype=np.float32)
+        ids, pos, query = self.encode_chat(
+            question, num_patches_list, history,
+            rope_pos_id_version=rope_pos_id_version,
+            rope_pos_id_stride=rope_pos_id_stride)
 
         gc = generation_config or GenerationConfig()
         stop_ids = tuple(self.conv_template.stop_token_ids) or \

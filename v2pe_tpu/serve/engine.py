@@ -1,0 +1,473 @@
+"""Continuous-batching inference engine over the shared paged KV pool.
+
+The serving capability the reference does not have at all: its worker
+(`internvl/serve/model_worker.py:263-281`) serializes requests behind a
+semaphore and each `generate` call owns a private tuple-concat cache for
+its full duration — a second request waits even while the first is
+decoding one token at a time at ~1% chip utilization. This engine runs
+REQUESTS THROUGH ONE BATCHED DECODE PROGRAM continuously (the vLLM
+scheduling model, re-built TPU-style):
+
+* one physical page pool (`infer/paged_kv.PagedKVCache`) shared by up to
+  ``max_rows`` in-flight requests; a host-side free-list
+  :class:`PageAllocator` reserves each request's worst case
+  (prompt + max_new_tokens) at admission and reclaims it at completion —
+  unlike the session's device bump allocator, pages cycle forever;
+* admission runs the new prompt through fixed-shape chunked prefill onto
+  its row (`ops/paged_attention.paged_prefill_attention` + self-attention
+  logsumexp merge) while other rows' state just sits in the pool —
+  compiled once per chunk shape, arbitrary prompt lengths stream through;
+* decode runs in jitted K-step blocks over ALL rows at once
+  (`lax.scan`, pool donated so every store is in place), with per-row
+  active masks and token budgets carried inside the block: a row that
+  samples its stop token or exhausts ``max_new_tokens`` simply stops
+  advancing; between blocks the host harvests the (B, K) emitted tokens,
+  streams them to each request, retires finished rows (page-table row
+  → -1 — the kernels treat -1 entries as dead and the store kernel
+  no-ops on them, so a retired row can never touch reused pages), and
+  admits queued requests into the freed rows.
+
+Decode cost therefore amortizes across concurrent requests (batched
+matmuls on the MXU, one page-pool sweep per row) and TTFT for a new
+request is one chunked prefill, not a queue of full generations.
+
+Everything is static-shaped: the only compiled programs are one prefill
+chunk, one decode block, and two O(B) housekeeping ops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import queue
+import threading
+from collections import deque
+from functools import partial
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from v2pe_tpu.infer import paged_kv as pk
+from v2pe_tpu.infer.generate import GenerationConfig, _sample
+from v2pe_tpu.models import internlm2, internvl_chat
+
+
+# ---------------------------------------------------------------------------
+# host-side page accounting
+# ---------------------------------------------------------------------------
+
+
+class PageAllocator:
+    """Free-list over the pool's physical page ids (page 0 is the kernels'
+    reserved null page and is never handed out)."""
+
+    def __init__(self, n_pages: int, reserved: Sequence[int] = (0,)):
+        self._free: List[int] = [p for p in range(n_pages)
+                                 if p not in set(reserved)]
+        self.n_pages = n_pages
+
+    @property
+    def available(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int) -> Optional[List[int]]:
+        if n > len(self._free):
+            return None
+        pages, self._free = self._free[:n], self._free[n:]
+        return pages
+
+    def release(self, pages: Sequence[int]) -> None:
+        self._free.extend(int(p) for p in pages)
+
+
+@dataclasses.dataclass
+class EngineRequest:
+    """One in-flight generation. ``token_queue`` receives generated token
+    ids as they are harvested (``None`` sentinel on completion)."""
+
+    ids: np.ndarray                  # (S,) prompt token ids
+    pos: np.ndarray                  # (S,) float32 V2PE positions
+    max_new_tokens: int
+    pixel_values: Optional[np.ndarray] = None   # (T, 3, sz, sz)
+    request_id: int = 0
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    token_queue: "queue.Queue" = dataclasses.field(
+        default_factory=queue.Queue)
+    finished: "threading.Event" = dataclasses.field(
+        default_factory=threading.Event)
+    _text: Optional[str] = None
+
+    def result(self, timeout: Optional[float] = None) -> str:
+        self.finished.wait(timeout)
+        return self._text
+
+
+# ---------------------------------------------------------------------------
+# jitted device programs (compiled once per engine geometry)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "attn_impl"), donate_argnums=(1,))
+def _prefill_row_chunk(llm, cache, row, embeds, pos, seg, *, cfg, attn_impl):
+    """One fixed-shape prompt chunk into row ``row`` of the shared cache:
+    page-sweep + self-attention through the chunked-prefill path of
+    ``llm_forward`` on a batch-1 view, lengths advanced by the chunk's
+    valid token count. Returns (cache, last_logits (V,) fp32 at the
+    chunk's last valid position)."""
+    view = cache._replace(
+        page_table=jax.lax.dynamic_slice_in_dim(cache.page_table, row, 1, 0),
+        lengths=jax.lax.dynamic_slice_in_dim(cache.lengths, row, 1, 0))
+    valid = jnp.sum((seg != 0).astype(jnp.int32), axis=1)        # (1,)
+    hidden, view = internlm2.llm_forward(
+        llm, cfg, inputs_embeds=embeds, rope_pos_ids=pos,
+        segment_ids=seg, attn_impl=attn_impl, paged_cache=view,
+        paged_attend_cache=True, return_hidden=True)
+    view = pk.advance_lengths(view, valid)
+    cache = cache._replace(
+        k_pages=view.k_pages, v_pages=view.v_pages,
+        k_scales=view.k_scales, v_scales=view.v_scales,
+        lengths=jax.lax.dynamic_update_slice(
+            cache.lengths, view.lengths, (row,)))
+    last_hidden = jnp.take_along_axis(
+        hidden, jnp.maximum(valid - 1, 0)[:, None, None], axis=1)[:, 0]
+    last_logits = jnp.dot(last_hidden, llm["output_kernel"],
+                          preferred_element_type=jnp.float32)
+    return cache, last_logits[0]
+
+
+@partial(jax.jit, static_argnames=("gc",))
+def _first_token(logits, rng, *, gc):
+    return _sample(logits[None], gc, rng)[0].astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg", "gc", "k", "attn_impl"),
+         donate_argnums=(1,))
+def _decode_block(llm, cache, tok, pos, active, rem, rng, *, cfg, gc, k,
+                  attn_impl):
+    """K decode steps over every row at once. ``active`` rows write their
+    fed token's kv at slot ``lengths`` (store-then-attend kernels) and
+    advance; inactive rows ride along masked — their store is a no-op on
+    dead (-1) page-table entries and their samples are discarded. A row
+    deactivates inside the block when it samples a stop token or its
+    ``rem`` budget hits zero. Returns (cache, tok, pos, active, rem,
+    emitted (B, k) int32 with -1 where nothing was emitted)."""
+    eos = (jnp.asarray(gc.eos_token_ids, jnp.int32) if gc.eos_token_ids
+           else jnp.zeros((0,), jnp.int32))
+
+    def body(carry, _):
+        cache, tok, pos, active, rem, key = carry
+        key, sub = jax.random.split(key)
+        emb = llm["tok_embeddings"][tok][:, None, :]
+        logits, cache = internlm2.llm_forward(
+            llm, cfg, inputs_embeds=emb, rope_pos_ids=pos[:, None],
+            attn_impl=attn_impl, paged_cache=cache)
+        cache = pk.advance_lengths(cache, active.astype(jnp.int32))
+        nxt = _sample(logits[:, -1], gc, sub).astype(jnp.int32)
+        emitted = jnp.where(active, nxt, -1)
+        rem = rem - active.astype(jnp.int32)
+        live = ~jnp.isin(nxt, eos) if eos.size else \
+            jnp.ones_like(active)
+        new_active = active & live & (rem > 0)
+        pos = pos + active.astype(pos.dtype)
+        tok = jnp.where(new_active, nxt, tok)
+        return (cache, tok, pos, new_active, rem, key), emitted
+
+    (cache, tok, pos, active, rem, _), emitted = jax.lax.scan(
+        body, (cache, tok, pos, active, rem, rng), None, length=k)
+    return cache, tok, pos, active, rem, jnp.swapaxes(emitted, 0, 1)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _set_row(page_table, lengths, row, table_row):
+    """Install a freshly admitted row's page table (lengths reset to 0)."""
+    page_table = jax.lax.dynamic_update_slice(
+        page_table, table_row[None], (row, 0))
+    lengths = jax.lax.dynamic_update_slice(
+        lengths, jnp.zeros((1,), lengths.dtype), (row,))
+    return page_table, lengths
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _clear_rows(page_table, lengths, mask):
+    """Retire finished rows: dead (-1) table entries + zero lengths, so the
+    decode kernels skip them and the store kernel no-ops — the freed
+    physical pages can be handed to other rows immediately."""
+    page_table = jnp.where(mask[:, None], -1, page_table)
+    lengths = jnp.where(mask, 0, lengths)
+    return page_table, lengths
+
+
+# ---------------------------------------------------------------------------
+# the engine
+# ---------------------------------------------------------------------------
+
+
+class InferenceEngine:
+    """Continuous batching over one shared paged pool.
+
+    Args:
+      chat_model: a :class:`~v2pe_tpu.infer.chat.ChatModel` (weights +
+        tokenizer + template).
+      max_rows: maximum concurrently decoding requests (the batch size of
+        the decode block program).
+      max_len: maximum prompt+generation length of a single request (sets
+        the page-table width, i.e. the decode kernel's page sweep bound).
+      pool_tokens: total KV capacity in tokens across all rows (defaults
+        to ``max_rows * max_len`` — no oversubscription; smaller values
+        oversubscribe and rely on admission control).
+      chunk_size: prefill chunk length (one compiled program; prompts are
+        padded up to a multiple).
+      decode_block: decode steps fused per jitted block call (host
+        harvests/admits between blocks, so this bounds added TTFT while a
+        block is in flight).
+      generation_config: engine-wide sampling settings; per-request
+        ``max_new_tokens`` is honored via the in-block budget. Stop ids
+        default to the model's template stop tokens.
+      kv_dtype: None (model dtype) or 'int8' (quantized pool — doubles
+        the token capacity per HBM byte).
+    """
+
+    def __init__(self, chat_model, *, max_rows: int = 8,
+                 max_len: int = 8192, pool_tokens: Optional[int] = None,
+                 page_size: int = 512, chunk_size: int = 512,
+                 decode_block: int = 16,
+                 generation_config: Optional[GenerationConfig] = None,
+                 kv_dtype=None):
+        self.m = chat_model
+        self.cfg = chat_model.cfg
+        self.attn_impl = chat_model.attn_impl
+        self.max_rows = max_rows
+        self.max_len = max_len
+        self.page_size = page_size
+        self.chunk_size = chunk_size
+        self.decode_block = decode_block
+        MP = -(-max_len // page_size)
+        self.max_pages_per_row = MP
+        pool_tokens = pool_tokens or max_rows * max_len
+        NP = -(-pool_tokens // page_size) + 1        # +1: null page 0
+        gc = generation_config or GenerationConfig()
+        if not gc.eos_token_ids:
+            stop = tuple(chat_model.conv_template.stop_token_ids) or \
+                (self.cfg.llm.eos_token_id,)
+            gc = dataclasses.replace(gc, eos_token_ids=stop)
+        self.gc = gc
+        self.cache = pk.PagedKVCache.zeros(
+            self.cfg.llm, max_rows, NP, page_size, MP,
+            dtype=chat_model.params["llm"]["tok_embeddings"].dtype,
+            kv_dtype=kv_dtype)
+        self.allocator = PageAllocator(NP)
+        # host mirrors / per-row state
+        self._row_req: List[Optional[EngineRequest]] = [None] * max_rows
+        self._row_pages: List[List[int]] = [[] for _ in range(max_rows)]
+        self._tok = np.zeros(max_rows, np.int32)
+        self._pos = np.zeros(max_rows, np.float32)
+        self._active = np.zeros(max_rows, bool)
+        self._rem = np.zeros(max_rows, np.int32)
+        self._queue: "deque[EngineRequest]" = deque()
+        self._ids = itertools.count()
+        self._rng = jax.random.PRNGKey(0)
+        self._lock = threading.Lock()
+        self._wake = threading.Condition(self._lock)
+        self._thread: Optional[threading.Thread] = None
+        self._stopping = False
+
+    # ------------------------------------------------------------ submission
+    def submit(self, ids: np.ndarray, pos: np.ndarray,
+               pixel_values: Optional[np.ndarray] = None,
+               max_new_tokens: int = 256) -> EngineRequest:
+        """Queue raw (ids, positions) for generation."""
+        ids = np.asarray(ids, np.int64).reshape(-1)
+        need = -(-(len(ids) + max_new_tokens) // self.page_size)
+        if len(ids) + max_new_tokens > self.max_len:
+            raise ValueError(
+                f"prompt+max_new {len(ids) + max_new_tokens} exceeds the "
+                f"engine max_len {self.max_len}")
+        if need > self.allocator.n_pages - 1:
+            raise ValueError("request can never fit the page pool")
+        req = EngineRequest(ids=ids, pos=np.asarray(pos, np.float32),
+                            max_new_tokens=max_new_tokens,
+                            pixel_values=pixel_values,
+                            request_id=next(self._ids))
+        with self._wake:
+            self._queue.append(req)
+            self._wake.notify()
+        return req
+
+    def submit_chat(self, pixel_values: Optional[np.ndarray], question: str,
+                    max_new_tokens: int = 256, history=None) -> EngineRequest:
+        """Prompt-building convenience mirroring ``ChatModel.chat``."""
+        if history is None and pixel_values is not None \
+                and "<image>" not in question:
+            question = "<image>\n" + question
+        npl = [pixel_values.shape[0]] if pixel_values is not None else []
+        ids, pos, _ = self.m.encode_chat(question, npl, history)
+        return self.submit(ids, pos, pixel_values=pixel_values,
+                           max_new_tokens=max_new_tokens)
+
+    # ------------------------------------------------------------- scheduler
+    def _free_row(self) -> Optional[int]:
+        for r in range(self.max_rows):
+            if self._row_req[r] is None:
+                return r
+        return None
+
+    def step(self) -> bool:
+        """One scheduler iteration: admit whatever fits, then one decode
+        block if anything is decoding. Returns False when nothing could
+        make progress (idle, or queued work is blocked on pages)."""
+        progressed = False
+        while True:
+            with self._lock:
+                if not self._queue:
+                    break
+                row = self._free_row()
+                if row is None:
+                    break
+                need = -(-(len(self._queue[0].ids)
+                           + self._queue[0].max_new_tokens)
+                         // self.page_size)
+                pages = self.allocator.alloc(need)
+                if pages is None:
+                    break
+                req = self._queue.popleft()
+            self._admit(req, row, pages)
+            progressed = True
+        if self._active.any():
+            self._run_decode_block()
+            progressed = True
+        return progressed
+
+    def run_until_idle(self) -> None:
+        """Drive the scheduler until every submitted request completed."""
+        while self._queue or any(r is not None for r in self._row_req):
+            if not self.step():
+                raise RuntimeError(
+                    "engine stalled: queued request cannot be admitted "
+                    "(pool too small for the concurrent working set)")
+
+    # ----------------------------------------------------- background thread
+    def start(self) -> None:
+        """Run the scheduler on a daemon thread (for the serving worker)."""
+        if self._thread is not None:
+            return
+        self._stopping = False
+
+        def loop():
+            while not self._stopping:
+                if not self.step():
+                    with self._wake:
+                        if not self._queue and not self._active.any() \
+                                and not self._stopping:
+                            self._wake.wait(timeout=0.1)
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stopping = True
+        with self._wake:
+            self._wake.notify_all()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    # -------------------------------------------------------------- internals
+    def _admit(self, req: EngineRequest, row: int, pages: List[int]) -> None:
+        llm = self.m.params["llm"]
+        dtype = llm["tok_embeddings"].dtype
+        MP, CH = self.max_pages_per_row, self.chunk_size
+        table_row = np.full(MP, -1, np.int32)
+        table_row[:len(pages)] = pages
+        pt, lens = _set_row(self.cache.page_table, self.cache.lengths,
+                            jnp.int32(row), jnp.asarray(table_row))
+        self.cache = self.cache._replace(page_table=pt, lengths=lens)
+
+        S = len(req.ids)
+        Sp = -(-S // CH) * CH
+        ids_p = np.pad(req.ids, (0, Sp - S))[None]
+        pos_p = np.pad(req.pos, (0, Sp - S))[None].astype(np.float32)
+        seg_p = np.pad(np.ones(S, np.int32), (0, Sp - S))[None]
+        embeds = llm["tok_embeddings"][jnp.asarray(ids_p, jnp.int32)]
+        if req.pixel_values is not None:
+            vit = internvl_chat.extract_feature(
+                self.m.params, self.cfg,
+                jnp.asarray(req.pixel_values, dtype),
+                attn_impl=self.attn_impl)
+            embeds = internvl_chat.scatter_image_embeds(
+                embeds, jnp.asarray(ids_p, jnp.int32), vit,
+                jnp.ones((req.pixel_values.shape[0],), jnp.int32),
+                self.m.img_context_token_id)
+
+        last_logits = None
+        for c in range(Sp // CH):
+            sl = slice(c * CH, (c + 1) * CH)
+            self.cache, last_logits = _prefill_row_chunk(
+                llm, self.cache, jnp.int32(row),
+                embeds[:, sl], jnp.asarray(pos_p[:, sl]),
+                jnp.asarray(seg_p[:, sl]),
+                cfg=self.cfg.llm, attn_impl=self.attn_impl)
+
+        self._rng, sub = jax.random.split(self._rng)
+        tok0 = int(_first_token(last_logits, sub, gc=self.gc))
+        self._row_req[row] = req
+        self._row_pages[row] = pages
+        self._emit(row, tok0)           # may retire on eos / max_new == 1
+        if self._row_req[row] is None:
+            return
+        self._tok[row] = tok0
+        self._pos[row] = float(req.pos[-1]) + 1.0
+        self._active[row] = True
+        self._rem[row] = req.max_new_tokens - 1
+
+    def _emit(self, row: int, token: int) -> None:
+        req = self._row_req[row]
+        req.tokens.append(int(token))
+        req.token_queue.put(int(token))
+        if token in self.gc.eos_token_ids \
+                or len(req.tokens) >= req.max_new_tokens:
+            self._retire(row)
+
+    def _retire(self, row: int) -> None:
+        """Completion: dead-mark the row on device, reclaim pages, finish
+        the request."""
+        mask = np.zeros(self.max_rows, bool)
+        mask[row] = True
+        pt, lens = _clear_rows(self.cache.page_table, self.cache.lengths,
+                               jnp.asarray(mask))
+        self.cache = self.cache._replace(page_table=pt, lengths=lens)
+        self.allocator.release(self._row_pages[row])
+        self._row_pages[row] = []
+        self._active[row] = False
+        req, self._row_req[row] = self._row_req[row], None
+        req._text = self.m._decode(np.asarray(req.tokens, np.int64),
+                                   len(req.tokens))
+        req.token_queue.put(None)
+        req.finished.set()
+
+    def _run_decode_block(self) -> None:
+        llm = self.m.params["llm"]
+        self._rng, sub = jax.random.split(self._rng)
+        self.cache, tok, pos, active, rem, emitted = _decode_block(
+            llm, self.cache, jnp.asarray(self._tok), jnp.asarray(self._pos),
+            jnp.asarray(self._active), jnp.asarray(self._rem), sub,
+            cfg=self.cfg.llm, gc=self.gc, k=self.decode_block,
+            attn_impl=self.attn_impl)
+        emitted = np.asarray(emitted)
+        # np.array (copy): np.asarray of a jax array is read-only
+        self._tok = np.array(tok)
+        self._pos = np.array(pos)
+        self._active = np.array(active)
+        self._rem = np.array(rem)
+        for row in range(self.max_rows):
+            if self._row_req[row] is None:
+                continue
+            for t in emitted[row]:
+                if t < 0 or self._row_req[row] is None:
+                    continue
+                self._emit(row, int(t))
+            # budget exhausted without a stop token mid-block
+            if self._row_req[row] is not None and not self._active[row]:
+                self._retire(row)

@@ -43,8 +43,15 @@ class ModelWorker:
         worker_addr: Optional[str] = None,
         limit_model_concurrency: int = 5,
         heartbeat_interval: float = 15.0,
+        engine=None,  # Optional[serve.engine.InferenceEngine]: when set,
+        # requests run through the continuous-batching engine — concurrent
+        # generations share one batched decode program instead of
+        # serializing behind the semaphore (the reference's only mode)
     ):
         self.model = chat_model
+        self.engine = engine
+        if engine is not None:
+            engine.start()
         self.model_name = model_name
         self.worker_id = str(uuid.uuid4())[:6]
         self.controller_addr = controller_addr
@@ -149,7 +156,32 @@ class ModelWorker:
         stopper = KeywordsStoppingCriteria(
             [stop_str] if stop_str else [self.model.conv_template.sep])
         text = ""
+        if self.engine is not None:
+            # continuous batching: this request decodes interleaved with
+            # every other in-flight one. Sampling settings are the
+            # ENGINE's (per-request max_new_tokens/stop are honored).
+            req = self.engine.submit(
+                ids, pos,
+                pixel_values=np.concatenate(pixel_list) if pixel_list
+                else None,
+                max_new_tokens=max_new_tokens)
+            stop_ids = set(gc.eos_token_ids)
+            keep = []
+            while True:
+                tok = req.token_queue.get()
+                if tok is None:
+                    return
+                if int(tok) in stop_ids:
+                    continue
+                keep.append(int(tok))
+                text = self.model.tokenizer.decode(
+                    keep, skip_special_tokens=True)
+                if stopper.should_stop(text):
+                    yield {"text": stopper.trim(text), "error_code": 0}
+                    return
+                yield {"text": text, "error_code": 0}
         dtype = self.model.params["llm"]["tok_embeddings"].dtype
+        keep = []
         for chunk in stream_generate(
                 self.model.params, self.model.cfg, gc,
                 ids[None].astype(np.int32),
@@ -161,8 +193,11 @@ class ModelWorker:
                 page_size=getattr(self.model, "page_size", 128),
                 kv_dtype=getattr(self.model, "kv_dtype", None)):
             stop_ids = set(gc.eos_token_ids)
-            keep = [int(t) for t in chunk if int(t) not in stop_ids]
-            text += self.model.tokenizer.decode(
+            # re-decode the full kept sequence every chunk (HF streamer
+            # semantics — per-chunk decode+concat can split a multi-token
+            # grapheme or drop inter-token whitespace)
+            keep += [int(t) for t in chunk if int(t) not in stop_ids]
+            text = self.model.tokenizer.decode(
                 keep, skip_special_tokens=True)
             if stopper.should_stop(text):
                 yield {"text": stopper.trim(text), "error_code": 0}
