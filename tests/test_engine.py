@@ -91,7 +91,9 @@ def test_engine_reclaims_pages(chat_model):
     reqs = [eng.submit_chat(None, q, max_new_tokens=5) for q in QUESTIONS]
     eng.run_until_idle()
     assert all(r.finished.is_set() for r in reqs)
-    assert eng.allocator.available == total
+    # every page is either back on the free list or parked (evictable)
+    # in the prefix cache — none leaked, none still referenced
+    assert eng.allocator.available + eng.prefix_cache.evictable == total
     assert np.all(np.asarray(eng.cache.page_table) == -1)
     assert np.all(np.asarray(eng.cache.lengths) == 0)
     # rows reusable: a fourth request still works
@@ -138,6 +140,109 @@ def test_engine_rejects_oversized(chat_model):
     with pytest.raises(ValueError):
         eng.submit(np.arange(10), np.arange(10, dtype=np.float32),
                    max_new_tokens=60)
+
+
+def test_prefix_cache_hit_and_exactness(chat_model):
+    """An identical prompt resubmitted after completion reuses the parked
+    prefix pages (fewer prefill tokens) and still produces the exact
+    isolated-chat output."""
+    gc = GenerationConfig(max_new_tokens=6)
+    # long first turn so the prompt spans several full 8-token pages
+    hist = [("Please remember this long setup. " * 3, "Noted.")]
+    ref = chat_model.chat(None, QUESTIONS[0], gc, history=hist)
+
+    eng = _engine(chat_model)
+    r1 = eng.submit_chat(None, QUESTIONS[0], max_new_tokens=6, history=hist)
+    eng.run_until_idle()
+    hits_before = eng.stats["prefix_hit_pages"]
+    assert hits_before == 0
+    r2 = eng.submit_chat(None, QUESTIONS[0], max_new_tokens=6, history=hist)
+    eng.run_until_idle()
+    S = len(r2.ids)
+    assert eng.stats["prefix_hit_pages"] == (S - 1) // eng.page_size
+    assert r1.result(timeout=0) == ref
+    assert r2.result(timeout=0) == ref
+
+
+def test_prefix_cache_shared_while_active(chat_model):
+    """Two same-prefix requests IN FLIGHT TOGETHER share physical pages
+    (refcount 2) and both match their isolated outputs."""
+    gc = GenerationConfig(max_new_tokens=6)
+    hist = [("Shared system preamble, quite long indeed. " * 2, "Ok.")]
+    refs = [chat_model.chat(None, q, gc, history=hist)
+            for q in QUESTIONS[:2]]
+
+    eng = _engine(chat_model)
+    # admit the first (creates + registers its prefix pages), then the
+    # second while the first is still decoding
+    ra = eng.submit_chat(None, QUESTIONS[0], max_new_tokens=6, history=hist)
+    assert eng.step()
+    rb = eng.submit_chat(None, QUESTIONS[1], max_new_tokens=6, history=hist)
+    eng.run_until_idle()
+    assert eng.stats["prefix_hit_pages"] > 0
+    assert [ra.result(timeout=0), rb.result(timeout=0)] == refs
+
+
+def test_prefix_cache_respects_positions(chat_model):
+    """Same token ids with different V2PE positions must NOT share pages
+    (positions shape the stored rotary-applied keys)."""
+    eng = _engine(chat_model)
+    ids = np.arange(5, 45) % 30 + 4
+    pos = np.arange(40, dtype=np.float32)
+    eng.submit(ids, pos, max_new_tokens=4)
+    eng.run_until_idle()
+    eng.submit(ids, pos * 0.5, max_new_tokens=4)   # v2pe-style fractional
+    eng.run_until_idle()
+    assert eng.stats["prefix_hit_pages"] == 0
+    eng.submit(ids, pos, max_new_tokens=4)         # exact repeat DOES hit
+    eng.run_until_idle()
+    assert eng.stats["prefix_hit_pages"] == (len(ids) - 1) // eng.page_size
+
+
+def test_prefix_cache_image_content_in_identity(chat_model):
+    """Identical prompt text with a DIFFERENT image must not reuse pages,
+    and each output matches its isolated run."""
+    from PIL import Image
+
+    rng = np.random.RandomState(3)
+    img1 = Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8))
+    img2 = Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8))
+    gc = GenerationConfig(max_new_tokens=5)
+    pv1, _ = chat_model.load_pixels(img1)
+    pv2, _ = chat_model.load_pixels(img2)
+    refs = [chat_model.chat(pv1, QUESTIONS[0], gc),
+            chat_model.chat(pv2, QUESTIONS[0], gc)]
+
+    eng = _engine(chat_model)
+    r1 = eng.submit_chat(pv1, QUESTIONS[0], max_new_tokens=5)
+    eng.run_until_idle()
+    r2 = eng.submit_chat(pv2, QUESTIONS[0], max_new_tokens=5)
+    eng.run_until_idle()
+    assert eng.stats["prefix_hit_pages"] == 0
+    assert [r1.result(timeout=0), r2.result(timeout=0)] == refs
+    # same image again: full prefix reuse across the image tokens
+    r3 = eng.submit_chat(pv1, QUESTIONS[0], max_new_tokens=5)
+    eng.run_until_idle()
+    assert eng.stats["prefix_hit_pages"] > 0
+    assert r3.result(timeout=0) == refs[0]
+
+
+def test_prefix_cache_eviction_under_pressure(chat_model):
+    """Parked prefix pages are evicted when the free list runs dry; the
+    engine keeps serving correctly."""
+    gc = GenerationConfig(max_new_tokens=4)
+    eng = _engine(chat_model, max_rows=1, max_len=256,
+                  pool_tokens=160)      # 20 usable pages of 8
+    prompts = [f"Topic {i}: tell me something interesting." for i in range(4)]
+    refs = [chat_model.chat(None, p, gc) for p in prompts]
+    got = []
+    for p in prompts:                    # sequential: each parks its pages
+        r = eng.submit_chat(None, p, max_new_tokens=4)
+        eng.run_until_idle()
+        got.append(r.result(timeout=0))
+    assert got == refs
+    total = eng.allocator.n_pages - 1
+    assert eng.allocator.available + eng.prefix_cache.evictable == total
 
 
 def test_page_allocator():

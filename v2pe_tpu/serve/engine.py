@@ -83,6 +83,94 @@ class PageAllocator:
         self._free.extend(int(p) for p in pages)
 
 
+class PrefixCache:
+    """Automatic prefix caching: hash-chained FULL prompt pages shared
+    across requests (the vLLM block-hash model). Page i of a prompt is
+    keyed by ``H(key_{i-1}, ids[i·ps:(i+1)·ps], pos[i·ps:(i+1)·ps])``
+    seeded with a digest of the request's pixel data — V2PE's fractional
+    positions and the image content both shape the stored kv, so both are
+    part of the identity; two prompts share a page only when every token,
+    every rotary position, and the media bytes before it match.
+
+    Pages carry a refcount; at refcount 0 they are NOT freed but parked
+    in an LRU — a later identical prefix re-acquires them and skips its
+    prefill entirely. The engine evicts parked pages (oldest first,
+    de-registering their keys) only when the free list runs dry. KV pages
+    are append-only (prefill/decode write strictly past ``lengths``), so
+    a shared page is immutable by construction — no copy-on-write needed.
+    """
+
+    def __init__(self):
+        self._page_of: dict = {}          # key -> page id
+        self._key_of: dict = {}           # page id -> key
+        self._ref: dict = {}              # page id -> refcount
+        self._lru: "dict[int, None]" = {}  # parked refcount-0 pages, FIFO
+        self.hits = 0
+
+    @property
+    def evictable(self) -> int:
+        return len(self._lru)
+
+    @staticmethod
+    def chain_keys(ids: np.ndarray, pos: np.ndarray, page_size: int,
+                   seed: bytes = b"") -> List[bytes]:
+        import hashlib
+
+        keys, h = [], seed
+        for i in range(len(ids) // page_size):
+            sl = slice(i * page_size, (i + 1) * page_size)
+            h = hashlib.blake2b(
+                h + np.asarray(ids[sl], np.int64).tobytes()
+                + np.asarray(pos[sl], np.float32).tobytes(),
+                digest_size=16).digest()
+            keys.append(h)
+        return keys
+
+    def match(self, keys: Sequence[bytes]) -> int:
+        """Longest cached prefix (in pages) of the key chain."""
+        n = 0
+        for k in keys:
+            if k not in self._page_of:
+                break
+            n += 1
+        return n
+
+    def acquire(self, key: bytes) -> int:
+        """Take a reference on the cached page for ``key``."""
+        page = self._page_of[key]
+        self._ref[page] += 1
+        self._lru.pop(page, None)
+        self.hits += 1
+        return page
+
+    def register(self, key: bytes, page: int) -> bool:
+        """Publish a freshly written page under ``key`` (ref already 1 —
+        the registering row). No-op if the key is already cached (the
+        duplicate page stays private to its row)."""
+        if key in self._page_of:
+            return False
+        self._page_of[key] = page
+        self._key_of[page] = key
+        self._ref[page] = 1
+        return True
+
+    def release(self, page: int) -> None:
+        """Drop a reference; at zero the page parks in the LRU."""
+        self._ref[page] -= 1
+        if self._ref[page] == 0:
+            self._lru[page] = None
+
+    def evict(self, n: int) -> List[int]:
+        """De-register up to ``n`` parked pages (oldest first)."""
+        out = []
+        for page in list(self._lru)[:n]:
+            del self._lru[page]
+            del self._ref[page]
+            del self._page_of[self._key_of.pop(page)]
+            out.append(page)
+        return out
+
+
 @dataclasses.dataclass
 class EngineRequest:
     """One in-flight generation. ``token_queue`` receives generated token
@@ -181,12 +269,13 @@ def _decode_block(llm, cache, tok, pos, active, rem, rng, *, cfg, gc, k,
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
-def _set_row(page_table, lengths, row, table_row):
-    """Install a freshly admitted row's page table (lengths reset to 0)."""
+def _set_row(page_table, lengths, row, table_row, length0):
+    """Install a freshly admitted row's page table. ``length0`` > 0 when a
+    cached prefix already fills the row's leading pages (prefix cache)."""
     page_table = jax.lax.dynamic_update_slice(
         page_table, table_row[None], (row, 0))
     lengths = jax.lax.dynamic_update_slice(
-        lengths, jnp.zeros((1,), lengths.dtype), (row,))
+        lengths, length0.reshape(1).astype(lengths.dtype), (row,))
     return page_table, lengths
 
 
@@ -235,7 +324,7 @@ class InferenceEngine:
                  page_size: int = 512, chunk_size: int = 512,
                  decode_block: int = 16,
                  generation_config: Optional[GenerationConfig] = None,
-                 kv_dtype=None):
+                 kv_dtype=None, prefix_caching: bool = True):
         self.m = chat_model
         self.cfg = chat_model.cfg
         self.attn_impl = chat_model.attn_impl
@@ -259,9 +348,13 @@ class InferenceEngine:
             dtype=chat_model.params["llm"]["tok_embeddings"].dtype,
             kv_dtype=kv_dtype)
         self.allocator = PageAllocator(NP)
+        self.prefix_cache = PrefixCache() if prefix_caching else None
+        self.stats = {"prefill_chunks": 0, "prefix_hit_pages": 0}
         # host mirrors / per-row state
         self._row_req: List[Optional[EngineRequest]] = [None] * max_rows
         self._row_pages: List[List[int]] = [[] for _ in range(max_rows)]
+        # pages participating in the prefix cache, per row: [(page, key)]
+        self._row_cached: List[List] = [[] for _ in range(max_rows)]
         self._tok = np.zeros(max_rows, np.int32)
         self._pos = np.zeros(max_rows, np.float32)
         self._active = np.zeros(max_rows, bool)
@@ -326,14 +419,11 @@ class InferenceEngine:
                 row = self._free_row()
                 if row is None:
                     break
-                need = -(-(len(self._queue[0].ids)
-                           + self._queue[0].max_new_tokens)
-                         // self.page_size)
-                pages = self.allocator.alloc(need)
-                if pages is None:
+                plan = self._plan_admission(self._queue[0])
+                if plan is None:
                     break
                 req = self._queue.popleft()
-            self._admit(req, row, pages)
+            self._admit(req, row, plan)
             progressed = True
         if self._active.any():
             self._run_decode_block()
@@ -375,31 +465,77 @@ class InferenceEngine:
             self._thread = None
 
     # -------------------------------------------------------------- internals
-    def _admit(self, req: EngineRequest, row: int, pages: List[int]) -> None:
+    def _plan_admission(self, req: EngineRequest):
+        """Match the prompt against the prefix cache and reserve pages.
+        Returns (pages, keys, n_matched_pages) or None when the pool can't
+        cover the request right now; on success cached-prefix pages are
+        already acquired and sit at the front of ``pages``."""
+        ps = self.page_size
+        need = -(-(len(req.ids) + req.max_new_tokens) // ps)
+        pc = self.prefix_cache
+        keys: List[bytes] = []
+        shared: List[int] = []
+        if pc is not None:
+            import hashlib
+
+            seed = hashlib.blake2b(
+                req.pixel_values.tobytes(), digest_size=16).digest() \
+                if req.pixel_values is not None else b""
+            keys = pc.chain_keys(req.ids, req.pos, ps, seed)
+            # always leave >=1 prompt token to prefill: the new request
+            # needs the last position's logits to sample its first token
+            matched = min(pc.match(keys), (len(req.ids) - 1) // ps)
+            shared = [pc.acquire(k) for k in keys[:matched]]
+        fresh = self.allocator.alloc(need - len(shared))
+        if fresh is None and pc is not None:
+            short = (need - len(shared)) - self.allocator.available
+            self.allocator.release(pc.evict(short))
+            fresh = self.allocator.alloc(need - len(shared))
+        if fresh is None:
+            for page in shared:           # roll the acquisition back
+                pc.release(page)
+            return None
+        self.stats["prefix_hit_pages"] += len(shared)
+        return shared + fresh, keys, len(shared)
+
+    def _admit(self, req: EngineRequest, row: int, plan) -> None:
+        pages, keys, matched = plan
         llm = self.m.params["llm"]
         dtype = llm["tok_embeddings"].dtype
-        MP, CH = self.max_pages_per_row, self.chunk_size
+        MP, CH, ps = self.max_pages_per_row, self.chunk_size, self.page_size
         table_row = np.full(MP, -1, np.int32)
         table_row[:len(pages)] = pages
+        consumed = matched * ps           # tokens served by shared pages
         pt, lens = _set_row(self.cache.page_table, self.cache.lengths,
-                            jnp.int32(row), jnp.asarray(table_row))
+                            jnp.int32(row), jnp.asarray(table_row),
+                            jnp.int32(consumed))
         self.cache = self.cache._replace(page_table=pt, lengths=lens)
+        cached = [(pages[i], keys[i]) for i in range(matched)]
 
         S = len(req.ids)
-        Sp = -(-S // CH) * CH
-        ids_p = np.pad(req.ids, (0, Sp - S))[None]
-        pos_p = np.pad(req.pos, (0, Sp - S))[None].astype(np.float32)
-        seg_p = np.pad(np.ones(S, np.int32), (0, Sp - S))[None]
+        Sf = S - consumed                 # suffix left to prefill
+        Sp = -(-Sf // CH) * CH
+        ids_p = np.pad(req.ids[consumed:], (0, Sp - Sf))[None]
+        pos_p = np.pad(req.pos[consumed:],
+                       (0, Sp - Sf))[None].astype(np.float32)
+        seg_p = np.pad(np.ones(Sf, np.int32), (0, Sp - Sf))[None]
         embeds = llm["tok_embeddings"][jnp.asarray(ids_p, jnp.int32)]
-        if req.pixel_values is not None:
+        if req.pixel_values is not None and \
+                (np.asarray(ids_p[0]) == self.m.img_context_token_id).any():
             vit = internvl_chat.extract_feature(
                 self.m.params, self.cfg,
                 jnp.asarray(req.pixel_values, dtype),
                 attn_impl=self.attn_impl)
+            # a cached prefix may cover the leading image tokens: scatter
+            # fills the suffix's <IMG_CONTEXT> slots with the TRAILING
+            # feature rows (the leading ones' kv already sits in the
+            # shared pages)
+            n_ctx = int((np.asarray(ids_p[0])
+                         == self.m.img_context_token_id).sum())
+            tail = vit.reshape(-1, vit.shape[-1])[-n_ctx:][:, None, :]
             embeds = internvl_chat.scatter_image_embeds(
-                embeds, jnp.asarray(ids_p, jnp.int32), vit,
-                jnp.ones((req.pixel_values.shape[0],), jnp.int32),
-                self.m.img_context_token_id)
+                embeds, jnp.asarray(ids_p, jnp.int32), tail,
+                jnp.ones((n_ctx,), jnp.int32), self.m.img_context_token_id)
 
         last_logits = None
         for c in range(Sp // CH):
@@ -409,11 +545,19 @@ class InferenceEngine:
                 embeds[:, sl], jnp.asarray(pos_p[:, sl]),
                 jnp.asarray(seg_p[:, sl]),
                 cfg=self.cfg.llm, attn_impl=self.attn_impl)
+            self.stats["prefill_chunks"] += 1
+
+        # publish this prompt's freshly written full pages for reuse
+        if self.prefix_cache is not None:
+            for i in range(matched, S // ps):
+                if self.prefix_cache.register(keys[i], pages[i]):
+                    cached.append((pages[i], keys[i]))
 
         self._rng, sub = jax.random.split(self._rng)
         tok0 = int(_first_token(last_logits, sub, gc=self.gc))
         self._row_req[row] = req
         self._row_pages[row] = pages
+        self._row_cached[row] = cached
         self._emit(row, tok0)           # may retire on eos / max_new == 1
         if self._row_req[row] is None:
             return
@@ -438,8 +582,13 @@ class InferenceEngine:
         pt, lens = _clear_rows(self.cache.page_table, self.cache.lengths,
                                jnp.asarray(mask))
         self.cache = self.cache._replace(page_table=pt, lengths=lens)
-        self.allocator.release(self._row_pages[row])
+        in_cache = {p for p, _ in self._row_cached[row]}
+        for page, _ in self._row_cached[row]:
+            self.prefix_cache.release(page)   # parks at refcount 0
+        self.allocator.release(
+            [p for p in self._row_pages[row] if p not in in_cache])
         self._row_pages[row] = []
+        self._row_cached[row] = []
         self._active[row] = False
         req, self._row_req[row] = self._row_req[row], None
         req._text = self.m._decode(np.asarray(req.tokens, np.int64),
