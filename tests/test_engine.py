@@ -245,6 +245,32 @@ def test_prefix_cache_eviction_under_pressure(chat_model):
     assert eng.allocator.available + eng.prefix_cache.evictable == total
 
 
+def test_engine_under_seq_mesh_token_exact(chat_model, jax8):
+    """The engine constructed inside a (seq=4, tensor=2) mesh context —
+    pool physically sharded over the mesh, per-shard page placement —
+    reproduces the unsharded engine's outputs exactly, including a
+    prefix-cache hit."""
+    import jax as _jax
+    from jax.sharding import Mesh
+
+    from v2pe_tpu.parallel import context as pctx
+
+    gc = GenerationConfig(max_new_tokens=6)
+    refs = [chat_model.chat(None, q, gc) for q in QUESTIONS]
+    refs.append(refs[0])                       # repeat → prefix hit
+
+    mesh = Mesh(np.array(_jax.devices()[:8]).reshape(1, 1, 4, 2),
+                ("data", "fsdp", "seq", "tensor"))
+    with pctx.use_sharding(pctx.ShardingContext(mesh=mesh)):
+        eng = _engine(chat_model)
+        assert eng.allocator.n_shards == 4
+        reqs = [eng.submit_chat(None, q, max_new_tokens=6)
+                for q in QUESTIONS + [QUESTIONS[0]]]
+        eng.run_until_idle()
+    assert [r.result(timeout=0) for r in reqs] == refs
+    assert eng.stats["prefix_hit_pages"] > 0
+
+
 def test_page_allocator():
     a = PageAllocator(8)
     assert a.available == 7                 # page 0 reserved
@@ -255,3 +281,18 @@ def test_page_allocator():
     a.release(p1)
     assert a.available == 3
     assert sorted(a.alloc(3)) == sorted(p1)
+
+
+def test_page_allocator_sharded():
+    a = PageAllocator(16, n_shards=4)       # 4 pages/shard, local 0 null
+    assert a.available == 12
+    pages = a.alloc(8, first_slot=0)        # slots 0..7 round-robin
+    assert [a.shard_of(p) for p in pages] == [0, 1, 2, 3, 0, 1, 2, 3]
+    # slot-aligned continuation keeps the invariant
+    more = a.alloc(2, first_slot=8)
+    assert [a.shard_of(p) for p in more] == [0, 1]
+    # shards 0/1 are drained; a 5-slot request at slot 0 needs 2+1 there
+    assert a.alloc(5, first_slot=0) is None
+    assert a.shortage(5, 0) == {0: 2, 1: 1}
+    a.release(pages)
+    assert a.alloc(5, first_slot=0) is not None

@@ -61,26 +61,55 @@ from v2pe_tpu.models import internlm2, internvl_chat
 
 
 class PageAllocator:
-    """Free-list over the pool's physical page ids (page 0 is the kernels'
-    reserved null page and is never handed out)."""
+    """Free-list over the pool's physical page ids.
 
-    def __init__(self, n_pages: int, reserved: Sequence[int] = (0,)):
-        self._free: List[int] = [p for p in range(n_pages)
-                                 if p not in set(reserved)]
+    With ``n_shards > 1`` (sequence-sharded pool) the physical range is
+    split per shard and a row's page at table slot s must live on shard
+    s % n_shards — the placement invariant the seq-sharded kernels'
+    compacted local page view relies on (``ops/paged_attention.
+    _local_page_view``). Each shard's local page 0 (global d·NP/n) is its
+    reserved null page and is never handed out."""
+
+    def __init__(self, n_pages: int, n_shards: int = 1):
+        assert n_pages % n_shards == 0
         self.n_pages = n_pages
+        self.n_shards = n_shards
+        self.pages_per_shard = n_pages // n_shards
+        self._free: List[List[int]] = [
+            list(range(d * self.pages_per_shard + 1,
+                       (d + 1) * self.pages_per_shard))
+            for d in range(n_shards)]
+
+    def shard_of(self, page: int) -> int:
+        return page // self.pages_per_shard
 
     @property
     def available(self) -> int:
-        return len(self._free)
+        return sum(len(f) for f in self._free)
 
-    def alloc(self, n: int) -> Optional[List[int]]:
-        if n > len(self._free):
+    def _demand(self, n: int, first_slot: int) -> List[int]:
+        d = [0] * self.n_shards
+        for s in range(first_slot, first_slot + n):
+            d[s % self.n_shards] += 1
+        return d
+
+    def shortage(self, n: int, first_slot: int = 0) -> dict:
+        """Per-shard page deficit for an ``alloc(n, first_slot)``."""
+        return {d: need - len(self._free[d])
+                for d, need in enumerate(self._demand(n, first_slot))
+                if need > len(self._free[d])}
+
+    def alloc(self, n: int, first_slot: int = 0) -> Optional[List[int]]:
+        """Pages for table slots first_slot..first_slot+n-1, in slot
+        order, respecting the slot→shard placement invariant."""
+        if self.shortage(n, first_slot):
             return None
-        pages, self._free = self._free[:n], self._free[n:]
-        return pages
+        return [self._free[(first_slot + i) % self.n_shards].pop()
+                for i in range(n)]
 
     def release(self, pages: Sequence[int]) -> None:
-        self._free.extend(int(p) for p in pages)
+        for p in pages:
+            self._free[self.shard_of(int(p))].append(int(p))
 
 
 class PrefixCache:
@@ -160,10 +189,16 @@ class PrefixCache:
         if self._ref[page] == 0:
             self._lru[page] = None
 
-    def evict(self, n: int) -> List[int]:
-        """De-register up to ``n`` parked pages (oldest first)."""
+    def evict(self, n: int, pred=None) -> List[int]:
+        """De-register up to ``n`` parked pages (oldest first), optionally
+        only those matching ``pred(page)`` (per-shard eviction under a
+        sequence-sharded pool)."""
         out = []
-        for page in list(self._lru)[:n]:
+        for page in list(self._lru):
+            if len(out) == n:
+                break
+            if pred is not None and not pred(page):
+                continue
             del self._lru[page]
             del self._ref[page]
             del self._page_of[self._key_of.pop(page)]
@@ -198,21 +233,31 @@ class EngineRequest:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg", "attn_impl"), donate_argnums=(1,))
-def _prefill_row_chunk(llm, cache, row, embeds, pos, seg, *, cfg, attn_impl):
+@partial(jax.jit, static_argnames=("cfg", "attn_impl", "ctx"),
+         donate_argnums=(1,))
+def _prefill_row_chunk(llm, cache, row, embeds, pos, seg, *, cfg, attn_impl,
+                       ctx=None):
     """One fixed-shape prompt chunk into row ``row`` of the shared cache:
     page-sweep + self-attention through the chunked-prefill path of
     ``llm_forward`` on a batch-1 view, lengths advanced by the chunk's
     valid token count. Returns (cache, last_logits (V,) fp32 at the
-    chunk's last valid position)."""
+    chunk's last valid position).
+
+    ``ctx`` (static) is the engine's captured ShardingContext: binding it
+    into the trace (rather than reading the ambient one) keys the jit
+    cache on the mesh, so engines with different meshes in one process
+    can't reuse each other's programs."""
+    from v2pe_tpu.parallel import context as pctx
+
     view = cache._replace(
         page_table=jax.lax.dynamic_slice_in_dim(cache.page_table, row, 1, 0),
         lengths=jax.lax.dynamic_slice_in_dim(cache.lengths, row, 1, 0))
     valid = jnp.sum((seg != 0).astype(jnp.int32), axis=1)        # (1,)
-    hidden, view = internlm2.llm_forward(
-        llm, cfg, inputs_embeds=embeds, rope_pos_ids=pos,
-        segment_ids=seg, attn_impl=attn_impl, paged_cache=view,
-        paged_attend_cache=True, return_hidden=True)
+    with pctx.use_sharding(ctx):
+        hidden, view = internlm2.llm_forward(
+            llm, cfg, inputs_embeds=embeds, rope_pos_ids=pos,
+            segment_ids=seg, attn_impl=attn_impl, paged_cache=view,
+            paged_attend_cache=True, return_hidden=True)
     view = pk.advance_lengths(view, valid)
     cache = cache._replace(
         k_pages=view.k_pages, v_pages=view.v_pages,
@@ -231,10 +276,10 @@ def _first_token(logits, rng, *, gc):
     return _sample(logits[None], gc, rng)[0].astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "gc", "k", "attn_impl"),
+@partial(jax.jit, static_argnames=("cfg", "gc", "k", "attn_impl", "ctx"),
          donate_argnums=(1,))
 def _decode_block(llm, cache, tok, pos, active, rem, rng, *, cfg, gc, k,
-                  attn_impl):
+                  attn_impl, ctx=None):
     """K decode steps over every row at once. ``active`` rows write their
     fed token's kv at slot ``lengths`` (store-then-attend kernels) and
     advance; inactive rows ride along masked — their store is a no-op on
@@ -242,6 +287,8 @@ def _decode_block(llm, cache, tok, pos, active, rem, rng, *, cfg, gc, k,
     deactivates inside the block when it samples a stop token or its
     ``rem`` budget hits zero. Returns (cache, tok, pos, active, rem,
     emitted (B, k) int32 with -1 where nothing was emitted)."""
+    from v2pe_tpu.parallel import context as pctx
+
     eos = (jnp.asarray(gc.eos_token_ids, jnp.int32) if gc.eos_token_ids
            else jnp.zeros((0,), jnp.int32))
 
@@ -249,9 +296,10 @@ def _decode_block(llm, cache, tok, pos, active, rem, rng, *, cfg, gc, k,
         cache, tok, pos, active, rem, key = carry
         key, sub = jax.random.split(key)
         emb = llm["tok_embeddings"][tok][:, None, :]
-        logits, cache = internlm2.llm_forward(
-            llm, cfg, inputs_embeds=emb, rope_pos_ids=pos[:, None],
-            attn_impl=attn_impl, paged_cache=cache)
+        with pctx.use_sharding(ctx):
+            logits, cache = internlm2.llm_forward(
+                llm, cfg, inputs_embeds=emb, rope_pos_ids=pos[:, None],
+                attn_impl=attn_impl, paged_cache=cache)
         cache = pk.advance_lengths(cache, active.astype(jnp.int32))
         nxt = _sample(logits[:, -1], gc, sub).astype(jnp.int32)
         emitted = jnp.where(active, nxt, -1)
@@ -336,7 +384,18 @@ class InferenceEngine:
         MP = -(-max_len // page_size)
         self.max_pages_per_row = MP
         pool_tokens = pool_tokens or max_rows * max_len
-        NP = -(-pool_tokens // page_size) + 1        # +1: null page 0
+        # captured ONCE: the engine's programs are traced for this mesh
+        # (sequence-sharded pool + tensor-sharded heads when the context
+        # says so — continuous batching on the 1M-context layout)
+        from v2pe_tpu.parallel import context as pctx
+
+        self.ctx = pctx.current()
+        n_shards = 1
+        if self.ctx is not None and \
+                self.ctx.seq_axis in self.ctx.mesh.shape:
+            n_shards = self.ctx.mesh.shape[self.ctx.seq_axis]
+        # per shard: its pages + its reserved local null page 0
+        NP = n_shards * (-(-pool_tokens // (page_size * n_shards)) + 1)
         gc = generation_config or GenerationConfig()
         if not gc.eos_token_ids:
             stop = tuple(chat_model.conv_template.stop_token_ids) or \
@@ -346,8 +405,30 @@ class InferenceEngine:
         self.cache = pk.PagedKVCache.zeros(
             self.cfg.llm, max_rows, NP, page_size, MP,
             dtype=chat_model.params["llm"]["tok_embeddings"].dtype,
-            kv_dtype=kv_dtype)
-        self.allocator = PageAllocator(NP)
+            kv_dtype=kv_dtype, n_shards=n_shards)
+        if self.ctx is not None:
+            # place the pool physically over the mesh (each device holds
+            # NP/n_seq pages and, when the head count divides, Hkv/n_t
+            # heads) so the engine's HBM budget actually scales with the
+            # slice instead of replicating
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            mesh = self.ctx.mesh
+            nt = mesh.shape.get(self.ctx.tensor_axis, 1)
+            Hkv = self.cfg.llm.num_key_value_heads
+            head_ax = self.ctx.tensor_axis if (nt > 1 and Hkv % nt == 0) \
+                else None
+            seq_ax = self.ctx.seq_axis if n_shards > 1 else None
+            spec = NamedSharding(mesh, P(None, head_ax, seq_ax, None, None))
+            self.cache = self.cache._replace(
+                k_pages=jax.device_put(self.cache.k_pages, spec),
+                v_pages=jax.device_put(self.cache.v_pages, spec),
+                k_scales=jax.device_put(self.cache.k_scales, spec)
+                if self.cache.k_scales is not None else None,
+                v_scales=jax.device_put(self.cache.v_scales, spec)
+                if self.cache.v_scales is not None else None)
+        self.allocator = PageAllocator(NP, n_shards=n_shards)
         self.prefix_cache = PrefixCache() if prefix_caching else None
         self.stats = {"prefill_chunks": 0, "prefix_hit_pages": 0}
         # host mirrors / per-row state
@@ -378,7 +459,8 @@ class InferenceEngine:
             raise ValueError(
                 f"prompt+max_new {len(ids) + max_new_tokens} exceeds the "
                 f"engine max_len {self.max_len}")
-        if need > self.allocator.n_pages - 1:
+        if -(-need // self.allocator.n_shards) > \
+                self.allocator.pages_per_shard - 1:
             raise ValueError("request can never fit the page pool")
         req = EngineRequest(ids=ids, pos=np.asarray(pos, np.float32),
                             max_new_tokens=max_new_tokens,
@@ -486,11 +568,16 @@ class InferenceEngine:
             # needs the last position's logits to sample its first token
             matched = min(pc.match(keys), (len(req.ids) - 1) // ps)
             shared = [pc.acquire(k) for k in keys[:matched]]
-        fresh = self.allocator.alloc(need - len(shared))
+        n_new, first = need - len(shared), len(shared)
+        fresh = self.allocator.alloc(n_new, first_slot=first)
         if fresh is None and pc is not None:
-            short = (need - len(shared)) - self.allocator.available
-            self.allocator.release(pc.evict(short))
-            fresh = self.allocator.alloc(need - len(shared))
+            # evict parked pages shard by shard to cover the exact deficit
+            # (pages are not interchangeable across shards: slot s of a
+            # row must live on shard s % n)
+            for d, k in self.allocator.shortage(n_new, first).items():
+                self.allocator.release(pc.evict(
+                    k, pred=lambda p, d=d: self.allocator.shard_of(p) == d))
+            fresh = self.allocator.alloc(n_new, first_slot=first)
         if fresh is None:
             for page in shared:           # roll the acquisition back
                 pc.release(page)
@@ -544,7 +631,7 @@ class InferenceEngine:
                 llm, self.cache, jnp.int32(row),
                 embeds[:, sl], jnp.asarray(pos_p[:, sl]),
                 jnp.asarray(seg_p[:, sl]),
-                cfg=self.cfg.llm, attn_impl=self.attn_impl)
+                cfg=self.cfg.llm, attn_impl=self.attn_impl, ctx=self.ctx)
             self.stats["prefill_chunks"] += 1
 
         # publish this prompt's freshly written full pages for reuse
@@ -603,7 +690,7 @@ class InferenceEngine:
             llm, self.cache, jnp.asarray(self._tok), jnp.asarray(self._pos),
             jnp.asarray(self._active), jnp.asarray(self._rem), sub,
             cfg=self.cfg.llm, gc=self.gc, k=self.decode_block,
-            attn_impl=self.attn_impl)
+            attn_impl=self.attn_impl, ctx=self.ctx)
         emitted = np.asarray(emitted)
         # np.array (copy): np.asarray of a jax array is read-only
         self._tok = np.array(tok)
