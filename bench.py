@@ -472,6 +472,25 @@ def main():
     except Exception as e:
         extras["decode_error"] = repr(e)[:200]
     try:
+        # int8 weight-only serving (ops/quantized_matmul.py): decode is
+        # weight-bandwidth-bound, so halving the weight bytes raises the
+        # ceiling ~2x; w8 + int8 KV is the min-HBM long-context config
+        from v2pe_tpu.ops.quantized_matmul import quantize_llm_params
+
+        qparams = dict(params)
+        qparams["llm"] = jax.jit(quantize_llm_params)(params["llm"])
+        extras["decode_tok_s_8k_dense_w8"] = round(
+            _decode_bench(jax, jnp, cfg, qparams, 8192, paged=False), 1)
+        extras["decode_tok_s_32k_paged_w8kv8"] = round(
+            _decode_bench(jax, jnp, cfg, qparams, 32768, paged=True,
+                          kv_dtype="int8"), 1)
+        extras["decode_tok_s_128k_paged_w8kv8"] = round(
+            _decode_bench(jax, jnp, cfg, qparams, 131072, paged=True,
+                          kv_dtype="int8"), 1)
+        del qparams
+    except Exception as e:
+        extras["decode_w8_error"] = repr(e)[:200]
+    try:
         extras.update(_kernel_tflops(jax, jnp, cfg))
     except Exception as e:
         extras["kernel_tflops_error"] = repr(e)[:200]

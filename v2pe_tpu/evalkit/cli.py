@@ -46,6 +46,9 @@ def build_argparser():
     p.add_argument("--num-beams", type=int, default=1,
                    help="beam search width (the reference's SEED "
                         "--num-beams, evaluate_seed.py:264)")
+    p.add_argument("--weights-dtype", default=None, choices=["int8"],
+                   help="int8: weight-only quantized serving "
+                        "(ops/quantized_matmul.py)")
     p.add_argument("--rope_pos_id_version", default=None)
     p.add_argument("--rope_pos_id_stride", type=int,
                    default=int(os.environ.get("STRIDE", 0)) or None)
@@ -114,7 +117,8 @@ def load_chat_model(args):
     else:
         params = load_safetensors_checkpoint(args.checkpoint, cfg,
                                              jnp.bfloat16)
-    return ChatModel(params, cfg, tokenizer)
+    return ChatModel(params, cfg, tokenizer,
+                     weights_dtype=getattr(args, "weights_dtype", None))
 
 
 def main(argv=None):

@@ -89,8 +89,8 @@ def beam_generate(
         kv_valid=(slot < prompt_lengths[:, None]), return_hidden=True)
     last_hidden = jnp.take_along_axis(
         hidden, (prompt_lengths[:, None, None] - 1), axis=1)
-    last_logits = jnp.dot(last_hidden, llm["output_kernel"],
-                          preferred_element_type=jnp.float32)[:, 0]  # (B,V)
+    last_logits = internlm2.head_logits(
+        last_hidden, llm["output_kernel"])[:, 0]  # (B,V)
     last_pos = jnp.take_along_axis(
         rope_pos_ids, (prompt_lengths[:, None] - 1), axis=1)[:, 0]  # (B,)
 

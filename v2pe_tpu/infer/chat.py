@@ -29,7 +29,17 @@ class ChatModel:
 
     def __init__(self, params, cfg: VLMConfig, tokenizer,
                  attn_impl: str = "auto", cache_mode: str = "dense",
-                 page_size: int = 128, kv_dtype=None):
+                 page_size: int = 128, kv_dtype=None, weights_dtype=None):
+        if weights_dtype == "int8":
+            # int8 weight-only serving (ops/quantized_matmul.py): every
+            # consumer of self.params — chat/generate/ChatSession/
+            # InferenceEngine/ModelWorker — decodes against the quantized
+            # LLM weights (near-2x the weight-bandwidth decode ceiling)
+            from v2pe_tpu.ops.quantized_matmul import quantize_llm_params
+
+            params = {**params, "llm": quantize_llm_params(params["llm"])}
+        elif weights_dtype is not None:
+            raise NotImplementedError(f"weights_dtype={weights_dtype!r}")
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -40,6 +50,7 @@ class ChatModel:
         self.cache_mode = cache_mode
         self.page_size = page_size
         self.kv_dtype = kv_dtype  # 'int8': quantized paged pool
+        self.weights_dtype = weights_dtype
         self.img_context_token_id = tokenizer.convert_tokens_to_ids(
             IMG_CONTEXT_TOKEN)
         self.img_start_id = tokenizer.convert_tokens_to_ids(IMG_START_TOKEN)

@@ -35,6 +35,10 @@ class GenerationConfig:
     num_beams: int = 1           # >1: beam search (infer/beam.py)
     length_penalty: float = 1.0
     early_stopping: bool = False
+    # prompt-lookup speculative decoding (infer/speculative.py): K drafted
+    # tokens verified per forward — token-exact greedy, paged cache only
+    speculative_k: int = 0
+    speculative_ngram: int = 3
 
 
 def _sample(logits, gc: GenerationConfig, key):
@@ -87,7 +91,13 @@ def generate(
     B, S = input_ids.shape
     llm = params["llm"]
     dtype = llm["tok_embeddings"].dtype
-    max_len = S + gc.max_new_tokens
+    speculative = gc.speculative_k > 0
+    if speculative:
+        assert cache_mode == "paged" and not gc.do_sample, \
+            "speculative decoding: paged cache + greedy only"
+    # +K+1 slack: the last speculative block may write K+1 fresh tokens
+    max_len = S + gc.max_new_tokens + \
+        (gc.speculative_k + 1 if speculative else 0)
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
@@ -146,12 +156,22 @@ def generate(
             kv_valid=kv_valid_at(0), return_hidden=True)
     last_hidden = jnp.take_along_axis(
         hidden, (prompt_lengths[:, None, None] - 1), axis=1)
-    last_logits = jnp.dot(last_hidden, llm["output_kernel"],
-                          preferred_element_type=jnp.float32)[:, 0]
+    last_logits = internlm2.head_logits(last_hidden,
+                                        llm["output_kernel"])[:, 0]
 
     # decode-time integer position advance from the fractional prompt max
     last_pos = jnp.take_along_axis(rope_pos_ids,
                                    (prompt_lengths[:, None] - 1), axis=1)[:, 0]
+
+    if speculative:
+        from v2pe_tpu.infer.speculative import speculative_decode_from_logits
+
+        ctx = jnp.zeros((B, max_len + 8), jnp.int32)
+        ctx = jax.lax.dynamic_update_slice(ctx, input_ids, (0, 0))
+        out, t, lens, _ = speculative_decode_from_logits(
+            llm, cfg.llm, gc, cache, last_logits, last_pos, ctx,
+            prompt_lengths, attn_impl=attn_impl)
+        return out, t, lens
 
     out, t, lens, _ = decode_from_logits(
         llm, cfg.llm, gc, cache, last_logits, last_pos, rng,

@@ -33,6 +33,7 @@ import numpy as np
 import jax
 
 from v2pe_tpu.infer.generate import GenerationConfig, decode_from_logits
+from v2pe_tpu.models import internlm2
 
 
 @partial(jax.jit, static_argnames=("cfg", "gc"), donate_argnums=(1,))
@@ -142,8 +143,8 @@ class ChatSession:
             rope_pos_ids=spos, segment_ids=seg, attn_impl=m.attn_impl,
             return_hidden=True)
         last_hidden = hidden[:, S - 1]
-        last_logits = jnp.dot(last_hidden, llm["output_kernel"],
-                              preferred_element_type=jnp.float32)
+        last_logits = internlm2.head_logits(last_hidden,
+                                            llm["output_kernel"])
 
         gc = generation_config or GenerationConfig()
         stop_ids = tuple(m.conv_template.stop_token_ids) or \

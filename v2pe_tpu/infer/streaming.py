@@ -62,8 +62,8 @@ def _prefill(params, cfg: VLMConfig, gc: GenerationConfig, input_ids,
         hidden, cache = internlm2.llm_forward(
             llm, cfg.llm, inputs_embeds=embeds, rope_pos_ids=rope_pos_ids,
             attn_impl=attn_impl, kv_cache=cache, return_hidden=True)
-    last_logits = jnp.dot(hidden[:, -1:], llm["output_kernel"],
-                          preferred_element_type=jnp.float32)[:, 0]
+    last_logits = internlm2.head_logits(hidden[:, -1:],
+                                        llm["output_kernel"])[:, 0]
     tok0 = _sample(last_logits, gc, rng).astype(jnp.int32)
     return tok0, cache
 

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from v2pe_tpu.core.config import LLMConfig
 from v2pe_tpu.ops.attention import flash_attention
 from v2pe_tpu.ops.norms import rms_norm
+from v2pe_tpu.ops.quantized_matmul import QuantizedWeight, quantized_dot
 from v2pe_tpu.ops.rope import apply_rotary, compute_rope_cos_sin
 
 
@@ -59,8 +60,18 @@ def split_wqkv(qkv: jnp.ndarray, cfg: LLMConfig):
 
 
 def _dot(x, w, dtype=None):
+    if isinstance(w, QuantizedWeight):  # int8 weight-only serving path
+        return quantized_dot(x, w, dtype or x.dtype)
     return jnp.dot(x, w, preferred_element_type=jnp.float32
                    ).astype(dtype or x.dtype)
+
+
+def head_logits(x, output_kernel) -> jnp.ndarray:
+    """fp32 vocab logits — dispatches the int8-quantized head (the 92k-vocab
+    fp32 head is ~20% of the 2B model's decode HBM traffic)."""
+    if isinstance(output_kernel, QuantizedWeight):
+        return quantized_dot(x, output_kernel, jnp.float32)
+    return jnp.dot(x, output_kernel, preferred_element_type=jnp.float32)
 
 
 def attention_forward(
@@ -656,6 +667,5 @@ def llm_forward(
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     if return_hidden:
         return x, new_cache
-    logits = jnp.dot(x, params["output_kernel"],
-                     preferred_element_type=jnp.float32)
+    logits = head_logits(x, params["output_kernel"])
     return logits, new_cache

@@ -103,7 +103,16 @@ def param_sharding(params, mesh: Mesh):
 
     def visit(path, leaf):
         path_str = "/".join(str(getattr(k, "key", k)) for k in path)
-        spec = _spec_for_path(path_str, leaf.ndim)
+        # int8 QuantizedWeight children: q shards like the kernel it
+        # replaces; the per-output-channel scale shards on the output
+        # (last) dim only
+        if path_str.endswith("/q"):
+            spec = _spec_for_path(path_str[:-2], leaf.ndim)
+        elif path_str.endswith("/scale"):
+            kernel = _spec_for_path(path_str[:-6], leaf.ndim)
+            spec = P(*([None] * (leaf.ndim - 1) + list(tuple(kernel))[-1:]))
+        else:
+            spec = _spec_for_path(path_str, leaf.ndim)
         return NamedSharding(mesh, _fit_spec(spec, leaf.shape, mesh))
 
     return jax.tree_util.tree_map_with_path(visit, params)

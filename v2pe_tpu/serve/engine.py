@@ -266,8 +266,7 @@ def _prefill_row_chunk(llm, cache, row, embeds, pos, seg, *, cfg, attn_impl,
             cache.lengths, view.lengths, (row,)))
     last_hidden = jnp.take_along_axis(
         hidden, jnp.maximum(valid - 1, 0)[:, None, None], axis=1)[:, 0]
-    last_logits = jnp.dot(last_hidden, llm["output_kernel"],
-                          preferred_element_type=jnp.float32)
+    last_logits = internlm2.head_logits(last_hidden, llm["output_kernel"])
     return cache, last_logits[0]
 
 
