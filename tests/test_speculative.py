@@ -142,3 +142,31 @@ def test_speculative_with_int8_kv_and_weights(vlm):
         got, _, lens = _run(cfg, p, ids, plens, gc, kv_dtype="int8")
         np.testing.assert_array_equal(got, ref)
         np.testing.assert_array_equal(lens, ref_lens)
+
+
+def test_session_speculative_matches_plain():
+    """ChatSession with speculative_k: multi-turn responses must equal the
+    plain session's turn for turn (drafting over the whole conversation)."""
+    import importlib
+
+    from v2pe_tpu.infer.chat import ChatModel
+    from v2pe_tpu.infer.session import ChatSession
+
+    tok = importlib.import_module("tests.test_data_pipeline")._toy_tokenizer()
+    cfg = VLMConfig(
+        vision=VisionConfig(hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=1, num_attention_heads=2,
+                            image_size=56, patch_size=14),
+        llm=LLMConfig(vocab_size=len(tok), hidden_size=32,
+                      intermediate_size=64, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2),
+        max_dynamic_patch=2)
+    model = ChatModel(init_vlm_params(jax.random.PRNGKey(0), cfg), cfg, tok,
+                      attn_impl="jnp")
+    plain_gc = GenerationConfig(max_new_tokens=6)
+    spec_gc = GenerationConfig(max_new_tokens=6, speculative_k=4,
+                               speculative_ngram=2)
+    plain = ChatSession(model, max_len=1024, page_size=8, chunk_multiple=64)
+    spec = ChatSession(model, max_len=1024, page_size=8, chunk_multiple=64)
+    for q in ("Describe the weather.", "More please.", "And again?"):
+        assert spec.send(None, q, spec_gc) == plain.send(None, q, plain_gc)

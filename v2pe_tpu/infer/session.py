@@ -45,6 +45,18 @@ def _decode_loop(llm, cache, last_logits, last_pos, cfg, gc, rng):
     return cache, out, lens
 
 
+@partial(jax.jit, static_argnames=("cfg", "gc"), donate_argnums=(1,))
+def _spec_decode_loop(llm, cache, last_logits, last_pos, ctx, n_ctx, cfg,
+                      gc):
+    # prompt-lookup speculative turn (infer/speculative.py): the whole
+    # conversation rides ``ctx`` so drafts can copy from ANY earlier turn
+    from v2pe_tpu.infer.speculative import speculative_decode_from_logits
+
+    out, _, lens, cache = speculative_decode_from_logits(
+        llm, cfg, gc, cache, last_logits, last_pos, ctx, n_ctx)
+    return cache, out, lens
+
+
 class ChatSession:
     """One conversation bound to one persistent paged cache (batch 1)."""
 
@@ -98,9 +110,11 @@ class ChatSession:
         else:
             pos = np.arange(len(ids), dtype=np.float32)
         gc0 = generation_config or GenerationConfig()
-        assert len(ids) + gc0.max_new_tokens <= self.max_len, \
-            "session max_len exceeded (prompt + max_new_tokens must fit " \
-            "the pool: decode writes its kv at slots past the prompt)"
+        spec_slack = gc0.speculative_k + 1 if gc0.speculative_k else 0
+        assert len(ids) + gc0.max_new_tokens + spec_slack <= self.max_len, \
+            "session max_len exceeded (prompt + max_new_tokens (+K+1 when " \
+            "speculative) must fit the pool: decode writes its kv at " \
+            "slots past the prompt)"
         # tokenizers are not guaranteed prefix-stable: a BPE merge across
         # the previous-prompt/response boundary can retokenize the shared
         # prefix differently. Roll the consumed pointer (and the cache)
@@ -151,9 +165,20 @@ class ChatSession:
             (self.cfg.llm.eos_token_id,)
         gc = dataclasses.replace(gc, eos_token_ids=stop_ids)
         last_pos = jnp.asarray([float(suf_pos[-1])], jnp.float32)
-        self.cache, out, lens = _decode_loop(
-            llm, self.cache, last_logits, last_pos, self.cfg.llm, gc,
-            jax.random.PRNGKey(0))
+        if gc.speculative_k > 0 and not gc.do_sample:
+            # ctx buffer: whole conversation + room for the turn's output,
+            # padded to chunk_multiple so compiled shapes stay bounded
+            need = len(ids) + gc.max_new_tokens + gc.speculative_k + 9
+            width = -(-need // self.chunk_multiple) * self.chunk_multiple
+            ctx = np.zeros((1, width), np.int32)
+            ctx[0, :len(ids)] = ids
+            self.cache, out, lens = _spec_decode_loop(
+                llm, self.cache, last_logits, last_pos, jnp.asarray(ctx),
+                jnp.asarray([len(ids)], jnp.int32), self.cfg.llm, gc)
+        else:
+            self.cache, out, lens = _decode_loop(
+                llm, self.cache, last_logits, last_pos, self.cfg.llm, gc,
+                jax.random.PRNGKey(0))
         # roll the generated tokens back out of the cache: the next turn
         # re-embeds the response from the template text (see module doc)
         self.cache = self.cache._replace(
