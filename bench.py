@@ -296,6 +296,102 @@ def _train_bench(jax, jnp, cfg, params, seq_len: int = 8192,
     return seq_len / dt
 
 
+def _spec_verify_bench(jax, jnp, cfg, params, ctx_len: int, T: int = 8,
+                       n_steps: int = 16, page_size: int = 1024):
+    """ms per (T)-token speculative VERIFY forward at a given context
+    (infer/speculative.py): decode is bandwidth-bound, so this should cost
+    barely more than a 1-token step — the ratio to the plain decode step
+    is the physics behind the 'up to (K+1)x' speculation claim."""
+    from v2pe_tpu.infer import paged_kv as pk
+    from v2pe_tpu.models import internlm2
+
+    lcfg = cfg.llm
+    B = 1
+    max_len = ctx_len + 2 * n_steps * T + 8
+    MP = -(-max_len // page_size)
+
+    @jax.jit
+    def prefill():
+        cache = pk.PagedKVCache.zeros(lcfg, B, B * MP + 1, page_size, MP,
+                                      dtype=jnp.bfloat16)
+        cache = pk.allocate_rows(cache, jnp.full((B,), ctx_len, jnp.int32))
+        return cache._replace(lengths=jnp.full((B,), ctx_len, jnp.int32))
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def verify_n(params, cache, tok):
+        def body(i, state):
+            cache, tok = state
+            cache = pk.allocate_rows(cache, jnp.full((B,), T, jnp.int32))
+            x = jnp.broadcast_to(tok[:, None], (B, T))
+            emb = params["llm"]["tok_embeddings"][x]
+            pos = cache.lengths[:, None].astype(jnp.float32) + \
+                jnp.arange(T, dtype=jnp.float32)[None]
+            logits, cache = internlm2.llm_forward(
+                params["llm"], lcfg, inputs_embeds=emb, rope_pos_ids=pos,
+                paged_cache=cache)
+            cache = pk.advance_lengths(cache, T)
+            return cache, jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+
+        return jax.lax.fori_loop(0, n_steps, body, (cache, tok))
+
+    cache = prefill()
+    tok = jnp.zeros((B,), jnp.int32)
+    cache, tok = verify_n(params, cache, tok)   # compile
+    int(tok[0])
+    t0 = time.perf_counter()
+    cache, tok = verify_n(params, cache, tok)
+    int(tok[0])
+    dt = time.perf_counter() - t0 - RTT
+    return dt / n_steps * 1000.0
+
+
+def _spec_e2e_bench(jax, jnp, cfg, params, ctx_len: int, max_new: int = 64,
+                    K: int = 7, g: int = 3, page_size: int = 1024):
+    """End-to-end prompt-lookup speculative decode at a given context.
+    Synthetic weights/pool make the ACCEPTANCE rate unrepresentative of a
+    real checkpoint (random-weight greedy output cycles), so both tok/s
+    and the measured acceptance are reported — speedup on real workloads
+    is (mean accepted)/(verify cost ratio), see docs/perf_analysis.md."""
+    from v2pe_tpu.infer import paged_kv as pk
+    from v2pe_tpu.infer.generate import GenerationConfig
+    from v2pe_tpu.infer.speculative import speculative_decode_from_logits
+
+    lcfg = cfg.llm
+    B = 1
+    max_len = ctx_len + 2 * (max_new + K + 1) + 8
+    MP = -(-max_len // page_size)
+    gc = GenerationConfig(max_new_tokens=max_new, speculative_k=K,
+                          speculative_ngram=g)
+
+    @jax.jit
+    def prefill():
+        cache = pk.PagedKVCache.zeros(lcfg, B, B * MP + 1, page_size, MP,
+                                      dtype=jnp.bfloat16)
+        cache = pk.allocate_rows(cache, jnp.full((B,), ctx_len, jnp.int32))
+        return cache._replace(lengths=jnp.full((B,), ctx_len, jnp.int32))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(cache):
+        ctx = jnp.tile(jnp.arange(16, dtype=jnp.int32),
+                       (max_len + 8) // 16 + 1)[:max_len + 8][None]
+        last_logits = jnp.zeros((B, lcfg.vocab_size), jnp.float32) \
+            .at[:, 17].set(1.0)
+        last_pos = jnp.full((B,), float(ctx_len), jnp.float32)
+        out, steps, lens, cache = speculative_decode_from_logits(
+            params["llm"], lcfg, gc, cache, last_logits, last_pos, ctx,
+            jnp.full((B,), ctx_len, jnp.int32))
+        return cache, steps, lens
+
+    cache = prefill()
+    cache, steps, lens = run(cache)             # compile
+    int(steps)
+    t0 = time.perf_counter()
+    cache, steps, lens = run(cache)
+    n = int(jnp.sum(lens))
+    dt = time.perf_counter() - t0 - RTT
+    return n / dt, n / max(int(steps), 1)
+
+
 def _decode_bench(jax, jnp, cfg, params, ctx_len: int, paged: bool,
                   n_tokens: int = 32, page_size: int = 1024,
                   kv_dtype=None):
@@ -490,6 +586,17 @@ def main():
         del qparams
     except Exception as e:
         extras["decode_w8_error"] = repr(e)[:200]
+    try:
+        # speculative decoding physics: an 8-token verify forward vs the
+        # 1-token step (both bandwidth-bound => ratio ~1 => accepted
+        # drafts are nearly free); plus an e2e run with measured accept
+        extras["spec_verify8_ms_32k_paged"] = round(
+            _spec_verify_bench(jax, jnp, cfg, params, 32768, T=8), 2)
+        tok_s, accept = _spec_e2e_bench(jax, jnp, cfg, params, 32768)
+        extras["spec_decode_tok_s_32k_paged"] = round(tok_s, 1)
+        extras["spec_accept_per_forward_32k"] = round(accept, 2)
+    except Exception as e:
+        extras["spec_error"] = repr(e)[:200]
     try:
         extras.update(_kernel_tflops(jax, jnp, cfg))
     except Exception as e:
