@@ -170,3 +170,37 @@ def test_session_speculative_matches_plain():
     spec = ChatSession(model, max_len=1024, page_size=8, chunk_multiple=64)
     for q in ("Describe the weather.", "More please.", "And again?"):
         assert spec.send(None, q, spec_gc) == plain.send(None, q, plain_gc)
+
+
+def test_engine_speculative_matches_plain(vlm):
+    """Continuous-batching engine with speculative_k: every request's
+    token stream must equal the plain engine's — across queueing,
+    mid-stream admission, and retirement."""
+    from types import SimpleNamespace
+
+    from v2pe_tpu.serve.engine import InferenceEngine
+
+    cfg, params = vlm
+    m = SimpleNamespace(params=params, cfg=SimpleNamespace(llm=cfg.llm),
+                        attn_impl="jnp", img_context_token_id=-1,
+                        _decode=lambda toks, n: "")
+    rng = np.random.RandomState(0)
+    rep = np.tile(np.asarray([31, 32, 33, 34], np.int32), 8)
+    prompts = [rep, rng.randint(4, 290, size=23), rng.randint(4, 290, size=9)]
+    base_gc = GenerationConfig(max_new_tokens=9, eos_token_ids=(299,))
+    spec_gc = GenerationConfig(max_new_tokens=9, eos_token_ids=(299,),
+                               speculative_k=4, speculative_ngram=2)
+
+    def run(gc):
+        eng = InferenceEngine(m, max_rows=2, max_len=128, page_size=8,
+                              chunk_size=16, decode_block=3,
+                              generation_config=gc)
+        reqs = [eng.submit(p, np.arange(len(p), dtype=np.float32),
+                           max_new_tokens=9) for p in prompts]
+        eng.run_until_idle()
+        return [r.tokens for r in reqs], eng.stats
+
+    ref, _ = run(base_gc)
+    got, stats = run(spec_gc)
+    assert got == ref, (got, ref)
+    assert stats.get("spec_forwards", 0) > 0

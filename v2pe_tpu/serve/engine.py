@@ -315,6 +315,86 @@ def _decode_block(llm, cache, tok, pos, active, rem, rng, *, cfg, gc, k,
     return cache, tok, pos, active, rem, jnp.swapaxes(emitted, 0, 1)
 
 
+@partial(jax.jit, static_argnames=("cfg", "gc", "n_iters", "attn_impl",
+                                   "ctx"), donate_argnums=(1, 2, 3))
+def _spec_block(llm, cache, ctx_buf, n_ctx, tok, pos, active, rem, *, cfg,
+                gc, n_iters, attn_impl, ctx=None):
+    """``n_iters`` prompt-lookup verify iterations over every row at once —
+    the speculative counterpart of :func:`_decode_block` (token-exact by
+    construction; see infer/speculative.py). Each iteration drafts K
+    tokens per row from the row's ``ctx_buf`` history, verifies K+1 in one
+    forward, and emits the accepted prefix. Returns (cache, ctx_buf,
+    n_ctx, tok, pos, active, rem, emitted (B, n_iters*(K+1)) with -1 where
+    nothing was emitted)."""
+    from v2pe_tpu.infer.speculative import prompt_lookup_draft
+    from v2pe_tpu.parallel import context as pctx
+
+    K = int(gc.speculative_k)
+    g = int(gc.speculative_ngram)
+    B, W = ctx_buf.shape
+    eos = (jnp.asarray(gc.eos_token_ids, jnp.int32) if gc.eos_token_ids
+           else jnp.zeros((0,), jnp.int32))
+
+    def _isin(x):
+        return jnp.isin(x, eos) if eos.size else jnp.zeros(x.shape, bool)
+
+    rows = jnp.arange(B)[:, None]
+    off = jnp.arange(K + 1)[None, :]
+
+    def body(carry, _):
+        cache, ctxb, n_ctx, tok, pos, active, rem = carry
+        draft = prompt_lookup_draft(ctxb, n_ctx, K, g)
+        x = jnp.concatenate([tok[:, None], draft], axis=1)
+        cache = pk.allocate_rows(
+            cache, jnp.where(active, K + 1, 0).astype(jnp.int32))
+        emb = llm["tok_embeddings"][x]
+        seg = jnp.broadcast_to(jnp.where(active, 1, 0)[:, None], (B, K + 1))
+        with pctx.use_sharding(ctx):
+            logits, cache = internlm2.llm_forward(
+                llm, cfg, inputs_embeds=emb,
+                rope_pos_ids=pos[:, None] +
+                jnp.arange(K + 1, dtype=jnp.float32)[None],
+                segment_ids=seg, attn_impl=attn_impl, paged_cache=cache)
+        y = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        verified = jnp.cumprod(jnp.concatenate(
+            [jnp.ones((B, 1), jnp.int32),
+             (x[:, 1:] == y[:, :-1]).astype(jnp.int32)], axis=1), axis=1)
+        no_eos_before = jnp.cumprod(jnp.concatenate(
+            [jnp.ones((B, 1), jnp.int32),
+             (~_isin(y[:, :-1])).astype(jnp.int32)], axis=1), axis=1)
+        keep = (verified * no_eos_before).astype(bool) \
+            & (off < rem[:, None]) & active[:, None]
+        m = jnp.sum(keep.astype(jnp.int32), axis=1)
+        emitted = jnp.where(keep, y, -1)
+        ctxb = ctxb.at[rows, jnp.where(keep, n_ctx[:, None] + off, W)
+                       ].set(y, mode="drop")
+        cache = pk.advance_lengths(cache, jnp.where(active, m, 0))
+        last_kept = jnp.take_along_axis(
+            y, jnp.maximum(m - 1, 0)[:, None], axis=1)[:, 0]
+        tok = jnp.where(active & (m > 0), last_kept, tok)
+        n_ctx = n_ctx + m
+        pos = pos + m.astype(pos.dtype)
+        rem = rem - m
+        active = active & ~jnp.any(keep & _isin(y), axis=1) & (rem > 0)
+        return (cache, ctxb, n_ctx, tok, pos, active, rem), emitted
+
+    (cache, ctx_buf, n_ctx, tok, pos, active, rem), emitted = jax.lax.scan(
+        body, (cache, ctx_buf, n_ctx, tok, pos, active, rem), None,
+        length=n_iters)
+    emitted = jnp.swapaxes(emitted, 0, 1).reshape(B, n_iters * (K + 1))
+    return cache, ctx_buf, n_ctx, tok, pos, active, rem, emitted
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _set_ctx_row(ctx_buf, row, vals, n):
+    """Install an admitted row's prompt (+ first token) into the draft
+    context buffer; slots past ``n`` are zeroed (never matched — lookup is
+    bounded by n_ctx, but keep rows clean for debuggability)."""
+    W = ctx_buf.shape[1]
+    vals = jnp.where(jnp.arange(W) < n, vals, 0)
+    return jax.lax.dynamic_update_slice(ctx_buf, vals[None], (row, 0))
+
+
 @partial(jax.jit, donate_argnums=(0, 1))
 def _set_row(page_table, lengths, row, table_row, length0):
     """Install a freshly admitted row's page table. ``length0`` > 0 when a
@@ -401,6 +481,18 @@ class InferenceEngine:
                 (self.cfg.llm.eos_token_id,)
             gc = dataclasses.replace(gc, eos_token_ids=stop)
         self.gc = gc
+        # speculative continuous batching (_spec_block): drafts ride a
+        # per-row device-side token-history buffer; verify writes need
+        # K+1 page slack past prompt+max_new
+        self._spec = gc.speculative_k > 0
+        if self._spec:
+            assert not gc.do_sample, \
+                "speculative engine decode is greedy-only"
+        self._spec_slack = gc.speculative_k + 1 if self._spec else 0
+        self._ctx_dev = jnp.zeros(
+            (max_rows, max_len + self._spec_slack + 8), jnp.int32) \
+            if self._spec else None
+        self._nctx = np.zeros(max_rows, np.int32)
         self.cache = pk.PagedKVCache.zeros(
             self.cfg.llm, max_rows, NP, page_size, MP,
             dtype=chat_model.params["llm"]["tok_embeddings"].dtype,
@@ -453,7 +545,8 @@ class InferenceEngine:
                max_new_tokens: int = 256) -> EngineRequest:
         """Queue raw (ids, positions) for generation."""
         ids = np.asarray(ids, np.int64).reshape(-1)
-        need = -(-(len(ids) + max_new_tokens) // self.page_size)
+        need = -(-(len(ids) + max_new_tokens + self._spec_slack)
+                 // self.page_size)
         if len(ids) + max_new_tokens > self.max_len:
             raise ValueError(
                 f"prompt+max_new {len(ids) + max_new_tokens} exceeds the "
@@ -507,7 +600,10 @@ class InferenceEngine:
             self._admit(req, row, plan)
             progressed = True
         if self._active.any():
-            self._run_decode_block()
+            if self._spec:
+                self._run_spec_block()
+            else:
+                self._run_decode_block()
             progressed = True
         return progressed
 
@@ -552,7 +648,8 @@ class InferenceEngine:
         cover the request right now; on success cached-prefix pages are
         already acquired and sit at the front of ``pages``."""
         ps = self.page_size
-        need = -(-(len(req.ids) + req.max_new_tokens) // ps)
+        need = -(-(len(req.ids) + req.max_new_tokens + self._spec_slack)
+                 // ps)
         pc = self.prefix_cache
         keys: List[bytes] = []
         shared: List[int] = []
@@ -651,6 +748,15 @@ class InferenceEngine:
         self._pos[row] = float(req.pos[-1]) + 1.0
         self._active[row] = True
         self._rem[row] = req.max_new_tokens - 1
+        if self._spec:
+            S = len(req.ids)
+            vals = np.zeros(self._ctx_dev.shape[1], np.int32)
+            vals[:S] = req.ids
+            vals[S] = tok0
+            self._ctx_dev = _set_ctx_row(self._ctx_dev, jnp.int32(row),
+                                         jnp.asarray(vals),
+                                         jnp.int32(S + 1))
+            self._nctx[row] = S + 1
 
     def _emit(self, row: int, token: int) -> None:
         req = self._row_req[row]
@@ -696,6 +802,34 @@ class InferenceEngine:
         self._pos = np.array(pos)
         self._active = np.array(active)
         self._rem = np.array(rem)
+        self._drain_emitted(emitted)
+
+    def _run_spec_block(self) -> None:
+        """Speculative counterpart of :meth:`_run_decode_block`: each of
+        ``decode_block`` iterations verifies K+1 tokens per row in one
+        forward, so a block emits between decode_block and
+        decode_block*(K+1) tokens per active row."""
+        llm = self.m.params["llm"]
+        (self.cache, self._ctx_dev, nctx, tok, pos, active, rem,
+         emitted) = _spec_block(
+            llm, self.cache, self._ctx_dev, jnp.asarray(self._nctx),
+            jnp.asarray(self._tok), jnp.asarray(self._pos),
+            jnp.asarray(self._active), jnp.asarray(self._rem),
+            cfg=self.cfg.llm, gc=self.gc, n_iters=self.decode_block,
+            attn_impl=self.attn_impl, ctx=self.ctx)
+        emitted = np.asarray(emitted)
+        self._nctx = np.array(nctx)
+        self._tok = np.array(tok)
+        self._pos = np.array(pos)
+        self._active = np.array(active)
+        self._rem = np.array(rem)
+        self.stats["spec_forwards"] = self.stats.get("spec_forwards", 0) \
+            + int(self.decode_block)
+        self.stats["spec_accepted"] = self.stats.get("spec_accepted", 0) \
+            + int((emitted >= 0).sum())
+        self._drain_emitted(emitted)
+
+    def _drain_emitted(self, emitted: np.ndarray) -> None:
         for row in range(self.max_rows):
             if self._row_req[row] is None:
                 continue
