@@ -394,15 +394,18 @@ def _spec_e2e_bench(jax, jnp, cfg, params, ctx_len: int, max_new: int = 64,
 
 def _decode_bench(jax, jnp, cfg, params, ctx_len: int, paged: bool,
                   n_tokens: int = 32, page_size: int = 1024,
-                  kv_dtype=None):
-    """Steady-state decode tok/s at a given context (text-only row; the
-    cache dominates, the prompt content doesn't matter)."""
+                  kv_dtype=None, batch: int = 1):
+    """Steady-state decode tok/s at a given context (text-only rows; the
+    cache dominates, the prompt content doesn't matter). batch > 1 is the
+    continuous-batching engine's inner loop: the weight reads amortize
+    over the rows, so AGGREGATE tok/s scales far super-linearly until the
+    per-row KV reads dominate. Returns aggregate tokens/s."""
     from v2pe_tpu.models import internlm2
     from v2pe_tpu.models.internlm2 import KVCache
 
     llm = params["llm"]
     dtype = llm["tok_embeddings"].dtype
-    B = 1
+    B = batch
     # 2x n_tokens: the timed call decodes ANOTHER n_tokens onto the same
     # (donated, rethreaded) cache after the compile call's batch
     max_len = ctx_len + 2 * n_tokens + 8
@@ -464,7 +467,7 @@ def _decode_bench(jax, jnp, cfg, params, ctx_len: int, paged: bool,
         cache, tok = decode_n(params, cache, tok)
         int(tok[0])
         dt = time.perf_counter() - t0 - RTT
-        return n_tokens / dt
+        return B * n_tokens / dt
 
     @jax.jit
     def prefill(params, ids, pos):
@@ -494,7 +497,7 @@ def _decode_bench(jax, jnp, cfg, params, ctx_len: int, paged: bool,
     t0 = time.perf_counter()
     int(decode_n(params, cache, tok)[0])
     dt = time.perf_counter() - t0 - RTT
-    return n_tokens / dt
+    return B * n_tokens / dt
 
 
 def main():
@@ -565,6 +568,10 @@ def main():
         extras["decode_tok_s_128k_paged_int8"] = round(
             _decode_bench(jax, jnp, cfg, params, 131072, paged=True,
                           kv_dtype="int8"), 1)
+        # continuous batching's inner loop: 8 rows share each weight read
+        extras["decode_tok_s_8k_paged_b8"] = round(
+            _decode_bench(jax, jnp, cfg, params, 8192, paged=True,
+                          batch=8), 1)
     except Exception as e:
         extras["decode_error"] = repr(e)[:200]
     try:
