@@ -11,6 +11,11 @@ Usage:
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import json
 import os
 from concurrent.futures import ThreadPoolExecutor
