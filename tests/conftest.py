@@ -28,3 +28,30 @@ def jax8():
 
     assert jax.device_count() >= 8, jax.devices()
     return jax
+
+
+def _rss_mb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _drop_compile_caches():
+    """Free compiled-executable memory between test modules.
+
+    The full suite JIT-compiles hundreds of programs on the CPU backend;
+    the accumulated executables eventually segfault the process partway
+    through (reproduced deterministically at ~195 tests). Clearing jax's
+    caches at module boundaries keeps RSS bounded."""
+    yield
+    jax.clear_caches()
+    log = os.environ.get("V2PE_TEST_RSS_LOG")
+    if log:
+        with open(log, "a") as f:
+            f.write(f"{_rss_mb():.0f}\n")
