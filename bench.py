@@ -500,9 +500,45 @@ def _decode_bench(jax, jnp, cfg, params, ctx_len: int, paged: bool,
     return B * n_tokens / dt
 
 
+def _arm_init_watchdog():
+    """Emit an honest error artifact instead of hanging forever when the
+    TPU tunnel is down (jax backend init blocks indefinitely in that
+    state). Disarmed as soon as the backend answers; set
+    V2PE_BENCH_INIT_DEADLINE_S=0 to disable."""
+    import threading
+
+    deadline = int(os.environ.get("V2PE_BENCH_INIT_DEADLINE_S", "600"))
+    if deadline <= 0:
+        return lambda: None
+
+    def _die():
+        # a watchdog THREAD, not SIGALRM: the hang sits inside a blocking
+        # C call (grpc connect), so a signal handler would never run
+        print(json.dumps({
+            "metric": f"prefill_tokens_per_sec_{SEQ_LEN // 1024}k_"
+                      f"{TILES}tiles",
+            "value": 0.0,
+            "unit": "tok/s/chip",
+            "vs_baseline": 0.0,
+            "extras": {"watchdog_error":
+                       f"jax backend init exceeded {deadline}s "
+                       "(device tunnel down?)"},
+        }), flush=True)
+        os._exit(1)
+
+    timer = threading.Timer(deadline, _die)
+    timer.daemon = True
+    timer.start()
+    return timer.cancel
+
+
 def main():
+    disarm = _arm_init_watchdog()
     import jax
     import jax.numpy as jnp
+
+    jax.devices()  # force backend init under the watchdog
+    disarm()
 
     from v2pe_tpu.core.config import internvl2_2b
     from v2pe_tpu.models import internlm2, internvl_chat
