@@ -500,6 +500,64 @@ def _decode_bench(jax, jnp, cfg, params, ctx_len: int, paged: bool,
     return B * n_tokens / dt
 
 
+class _BenchChatModel:
+    """Duck-typed stand-in for infer.chat.ChatModel: the engine only needs
+    params/cfg/attn_impl + template stop ids + a detokenizer when requests
+    are submitted as raw ids (no tokenizer exists in the bench env)."""
+
+    class _Tmpl:
+        stop_token_ids = ()
+
+    def __init__(self, params, cfg):
+        self.params = params
+        self.cfg = cfg
+        self.attn_impl = "auto"
+        self.conv_template = self._Tmpl()
+        self.img_context_token_id = -1
+
+    def _decode(self, ids, n):
+        return ""
+
+
+def _engine_bench(jax, jnp, cfg, params, n_reqs: int = 8,
+                  ctx_len: int = 8192, max_new: int = 256):
+    """Continuous-batching serving throughput: n_reqs ctx_len-token prompts
+    admitted through chunked prefill into the shared page pool, decoded in
+    batched blocks until every request completes (serve/engine.py). Run
+    twice, second run timed (first pays the chunk/decode-block compiles).
+    Returns (total_tok_s incl. prefill, generated_tok_s, generated)."""
+    import numpy as np
+
+    from v2pe_tpu.infer.generate import GenerationConfig
+    from v2pe_tpu.serve.engine import InferenceEngine
+
+    gcfg = GenerationConfig(
+        max_new_tokens=max_new,
+        eos_token_ids=(cfg.llm.vocab_size - 1,))  # early stops are counted
+    eng = InferenceEngine(
+        _BenchChatModel(params, cfg), max_rows=n_reqs,
+        max_len=ctx_len + max_new + 16, page_size=512, chunk_size=2048,
+        decode_block=64, generation_config=gcfg, prefix_caching=False)
+    rng = np.random.RandomState(0)
+
+    def run():
+        reqs = []
+        for r in range(n_reqs):
+            ids = rng.randint(10, cfg.llm.vocab_size - 2, ctx_len)
+            reqs.append(eng.submit(
+                ids, np.arange(ctx_len, dtype=np.float64),
+                max_new_tokens=max_new))
+        t0 = time.perf_counter()
+        eng.run_until_idle()
+        dt = time.perf_counter() - t0
+        return dt, sum(len(r.tokens) for r in reqs)
+
+    run()                                    # compile pass
+    dt, generated = run()
+    total = n_reqs * ctx_len + generated
+    return total / dt, dt, generated
+
+
 def _arm_init_watchdog():
     """Emit an honest error artifact instead of hanging forever when the
     TPU tunnel is down (jax backend init blocks indefinitely in that
@@ -640,6 +698,15 @@ def main():
         extras["spec_accept_per_forward_32k"] = round(accept, 2)
     except Exception as e:
         extras["spec_error"] = repr(e)[:200]
+    try:
+        # continuous-batching serving throughput (serve/engine.py): 8
+        # concurrent 8k prompts prefilled+decoded through the shared pool
+        etot, ewall, egen = _engine_bench(jax, jnp, cfg, params)
+        extras["engine_tok_s_8x8k_256new"] = round(etot, 1)
+        extras["engine_wall_s_8x8k_256new"] = round(ewall, 2)
+        extras["engine_generated_8x8k"] = int(egen)
+    except Exception as e:
+        extras["engine_error"] = repr(e)[:200]
     try:
         extras.update(_kernel_tflops(jax, jnp, cfg))
     except Exception as e:
