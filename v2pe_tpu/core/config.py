@@ -109,31 +109,37 @@ class LLMConfig:
 class MeshConfig:
     """Device mesh layout. Axes:
 
-    * ``data``  — data parallel (across DCN for multi-slice; outermost)
+    * ``pipe``  — pipeline parallel over decoder-layer blocks (DCN;
+                  outermost — only present when sized, parallel/pipeline.py)
+    * ``data``  — data parallel (across DCN for multi-slice)
     * ``fsdp``  — parameter/optimizer sharding (ZeRO-3 analogue; ICI)
     * ``seq``   — sequence/context parallel (ring attention; ICI)
     * ``tensor``— tensor parallel over heads/ffn (ICI)
 
     The reference's DeepSpeed ZeRO + `chunk_num` ring groups
-    (``internvl_chat_finetune.py:1104-1111``) map onto (fsdp, seq).
+    (``internvl_chat_finetune.py:1104-1111``) map onto (fsdp, seq);
+    it has no pipeline or tensor axis.
     """
 
     data: int = 1
     fsdp: int = 1
     seq: int = 1
     tensor: int = 1
+    pipe: int = 1
 
     @property
     def axis_names(self) -> tuple:
-        return ("data", "fsdp", "seq", "tensor")
+        base = ("data", "fsdp", "seq", "tensor")
+        return (("pipe",) + base) if self.pipe > 1 else base
 
     @property
     def shape(self) -> tuple:
-        return (self.data, self.fsdp, self.seq, self.tensor)
+        base = (self.data, self.fsdp, self.seq, self.tensor)
+        return ((self.pipe,) + base) if self.pipe > 1 else base
 
     @property
     def num_devices(self) -> int:
-        return self.data * self.fsdp * self.seq * self.tensor
+        return self.data * self.fsdp * self.seq * self.tensor * self.pipe
 
 
 @dataclass(frozen=True)

@@ -620,21 +620,37 @@ def llm_forward(
                 k_scales=ksc.reshape(paged_cache.k_scales.shape),
                 v_scales=vsc.reshape(paged_cache.v_scales.shape))
     elif kv_cache is None:
-        def run_layer(lp, x):
-            out, _ = layer_forward(lp, cfg, x, cos, sin,
-                                   segment_ids=segment_ids,
-                                   positions=positions, attn_impl=attn_impl,
-                                   rope_pack=rope_pack)
-            return out
+        from v2pe_tpu.parallel import context as pctx
 
-        if remat:
-            run_layer = jax.checkpoint(run_layer)
+        ctx = pctx.current()
+        if ctx is not None and ctx.pipe_shards > 1:
+            # GPipe over the 'pipe' mesh axis: stages own layer blocks,
+            # microbatches flow via ppermute (parallel/pipeline.py)
+            from v2pe_tpu.parallel.pipeline import pipeline_llm_layers
 
-        def scan_body(x, lp):
-            return run_layer(lp, x), None
+            x = pipeline_llm_layers(
+                params["layers"], cfg, x, cos, sin,
+                segment_ids=segment_ids, positions=positions,
+                attn_impl=attn_impl, rope_pack=rope_pack, ctx=ctx,
+                remat=remat)
+            new_cache = None
+        else:
+            def run_layer(lp, x):
+                out, _ = layer_forward(lp, cfg, x, cos, sin,
+                                       segment_ids=segment_ids,
+                                       positions=positions,
+                                       attn_impl=attn_impl,
+                                       rope_pack=rope_pack)
+                return out
 
-        x, _ = jax.lax.scan(scan_body, x, params["layers"])
-        new_cache = None
+            if remat:
+                run_layer = jax.checkpoint(run_layer)
+
+            def scan_body(x, lp):
+                return run_layer(lp, x), None
+
+            x, _ = jax.lax.scan(scan_body, x, params["layers"])
+            new_cache = None
     else:
         # the whole (L, B, max_len, Hkv, hd) cache rides the scan CARRY and
         # only the S new tokens are written per layer — scanning the cache

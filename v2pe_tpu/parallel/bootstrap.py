@@ -161,11 +161,22 @@ def make_global_mesh(cfg: MeshConfig, devices=None) -> Mesh:
         dev = np.asarray(devices[:n]).reshape(cfg.shape)
         return Mesh(dev, cfg.axis_names)
 
-    assert cfg.data % granules == 0, (
-        f"mesh data axis ({cfg.data}) must be divisible by the number of "
-        f"slices/hosts ({granules}) — the data axis is what rides DCN")
-    ici_shape = (cfg.data // granules, cfg.fsdp, cfg.seq, cfg.tensor)
-    dcn_shape = (granules, 1, 1, 1)
+    if cfg.pipe > 1:
+        # pipeline stages ride DCN (one layer block per slice) — the
+        # activations-only stage handoff is exactly what DCN tolerates
+        assert cfg.pipe % granules == 0, (
+            f"mesh pipe axis ({cfg.pipe}) must be divisible by the number "
+            f"of slices/hosts ({granules}) — pipe is what rides DCN")
+        ici_shape = (cfg.pipe // granules, cfg.data, cfg.fsdp, cfg.seq,
+                     cfg.tensor)
+        dcn_shape = (granules, 1, 1, 1, 1)
+    else:
+        assert cfg.data % granules == 0, (
+            f"mesh data axis ({cfg.data}) must be divisible by the number "
+            f"of slices/hosts ({granules}) — the data axis is what rides "
+            f"DCN")
+        ici_shape = (cfg.data // granules, cfg.fsdp, cfg.seq, cfg.tensor)
+        dcn_shape = (granules, 1, 1, 1)
     try:
         from jax.experimental import mesh_utils
 

@@ -21,10 +21,17 @@ class ShardingContext:
     batch_axes: Tuple[str, ...] = ("data", "fsdp")
     seq_axis: str = "seq"
     tensor_axis: str = "tensor"
+    pipe_axis: str = "pipe"
+    pipe_microbatches: int = 0  # 0 = auto (parallel/pipeline.py)
 
     @property
     def seq_shards(self) -> int:
         return self.mesh.shape[self.seq_axis]
+
+    @property
+    def pipe_shards(self) -> int:
+        """Size of the pipeline axis; meshes without one count as 1."""
+        return dict(self.mesh.shape).get(self.pipe_axis, 1)
 
 
 _CURRENT: Optional[ShardingContext] = None

@@ -101,6 +101,8 @@ def _fit_spec(spec: P, shape, mesh: Mesh) -> P:
 def param_sharding(params, mesh: Mesh):
     """NamedSharding pytree for a param pytree (path-based rules)."""
 
+    has_pipe = dict(mesh.shape).get("pipe", 1) > 1
+
     def visit(path, leaf):
         path_str = "/".join(str(getattr(k, "key", k)) for k in path)
         # int8 QuantizedWeight children: q shards like the kernel it
@@ -113,6 +115,13 @@ def param_sharding(params, mesh: Mesh):
             spec = P(*([None] * (leaf.ndim - 1) + list(tuple(kernel))[-1:]))
         else:
             spec = _spec_for_path(path_str, leaf.ndim)
+        if has_pipe and leaf.ndim and (
+                path_str.startswith("llm/layers/")
+                or path_str.startswith("layers/")):
+            # pipeline parallelism: each stage owns a contiguous block of
+            # decoder layers — shard the stacked leading L dim over 'pipe'
+            # (parallel/pipeline.py consumes this layout via shard_map)
+            spec = P("pipe", *tuple(spec)[1:])
         return NamedSharding(mesh, _fit_spec(spec, leaf.shape, mesh))
 
     return jax.tree_util.tree_map_with_path(visit, params)

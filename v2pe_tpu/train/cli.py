@@ -74,6 +74,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_seq", type=int, default=1,
                    help="ring-attention shards (reference chunk_num)")
     p.add_argument("--mesh_tensor", type=int, default=1)
+    p.add_argument("--mesh_pipe", type=int, default=1,
+                   help="pipeline-parallel stages over decoder layers "
+                        "(GPipe over DCN; parallel/pipeline.py)")
+    p.add_argument("--pipe_microbatches", type=int, default=0,
+                   help="GPipe microbatches (0 = auto; must divide the "
+                        "global row count)")
     # training-recipe knobs (internvl_chat_finetune.py:110-150)
     p.add_argument("--drop_path_rate", type=float, default=0.0,
                    help="ViT stochastic depth; published V2PE recipes "
@@ -200,7 +206,8 @@ def main(argv=None):
 
     mesh_cfg = cfg_lib.MeshConfig(data=args.mesh_data, fsdp=args.mesh_fsdp,
                                   seq=args.mesh_seq,
-                                  tensor=args.mesh_tensor)
+                                  tensor=args.mesh_tensor,
+                                  pipe=args.mesh_pipe)
     run = RunConfig(
         output_dir=args.output_dir, max_steps=args.max_steps,
         save_steps=args.save_steps, save_total_limit=args.save_total_limit,
@@ -228,7 +235,8 @@ def main(argv=None):
     hook = build_metrics_hook(args.output_dir, args.report_to)
     train(cfg, params, packer, run, tc, mesh_cfg=mesh_cfg,
           img_context_token_id=ctx_id, resume=not args.no_resume,
-          pixel_dtype=pixel_dtype, metrics_hook=hook)
+          pixel_dtype=pixel_dtype, metrics_hook=hook,
+          pipe_microbatches=args.pipe_microbatches)
 
 
 if __name__ == "__main__":

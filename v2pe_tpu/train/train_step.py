@@ -58,7 +58,7 @@ def loss_fn(params, cfg: VLMConfig, batch, img_context_token_id: int,
 def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation,
                     mesh: Optional[Mesh], img_context_token_id: int,
                     attn_impl: str = "auto", remat: bool = True,
-                    donate: bool = True):
+                    donate: bool = True, pipe_microbatches: int = 0):
     """Returns step(params, opt_state, batch) -> (params, opt_state, metrics).
 
     When `mesh` is given the step is jitted with sharded in/out specs and a
@@ -77,7 +77,8 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation,
     if mesh is None:
         return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
-    ctx = pctx.ShardingContext(mesh=mesh)
+    ctx = pctx.ShardingContext(mesh=mesh,
+                               pipe_microbatches=pipe_microbatches)
 
     def step_with_ctx(params, opt_state, batch, dropout_rng=None):
         with pctx.use_sharding(ctx):

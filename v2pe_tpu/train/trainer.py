@@ -86,6 +86,7 @@ def train(
     resume: bool = True,
     pixel_dtype=np.float32,
     metrics_hook: Optional[Callable[[int, dict], None]] = None,
+    pipe_microbatches: int = 0,
 ):
     """Run the training loop; returns (params, opt_state, step).
 
@@ -103,7 +104,8 @@ def train(
         params = shard_params(params, mesh)
     opt_state = init_opt_state(tx, params, mesh)
     step_fn = make_train_step(cfg, tx, mesh, img_context_token_id,
-                              attn_impl=attn_impl, remat=True)
+                              attn_impl=attn_impl, remat=True,
+                              pipe_microbatches=pipe_microbatches)
 
     start_step = 0
     if resume:
