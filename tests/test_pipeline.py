@@ -145,8 +145,10 @@ def test_pipeline_train_step_matches_unpipelined(jax8):
     mesh_cfg = MeshConfig(pipe=2, fsdp=2, data=2)
     mesh = make_mesh(mesh_cfg)
     sharded = shard_params(params, mesh)
+    # force M=2 so the multi-microbatch tick schedule's BACKWARD is held
+    # to tight tolerance too (auto would degenerate to M=1 at B == dp)
     stepp = make_train_step(cfg, tx, mesh, IMG_CONTEXT_ID, attn_impl="jnp",
-                            remat=True, donate=False)
+                            remat=True, donate=False, pipe_microbatches=2)
     _, _, m_pipe = stepp(sharded, tx.init(sharded), batch)
     np.testing.assert_allclose(float(m_pipe["loss"]), float(m_ref["loss"]),
                                rtol=2e-5)

@@ -458,6 +458,19 @@ def llm_forward(
     via the aliased store kernel (decode) or per-layer scatters on the scan
     carry (prefill) — and the second return value is the updated
     PagedKVCache (lengths NOT advanced; callers advance after sampling)."""
+    if kv_cache is not None or paged_cache is not None:
+        from v2pe_tpu.parallel import context as pctx
+
+        _ctx = pctx.current()
+        if _ctx is not None and _ctx.pipe_shards > 1:
+            # the pipe sharding rule splits the stacked layer params over
+            # stages; a plain layer scan on a cache path would silently
+            # re-gather every layer's weights across the pipe axis (over
+            # DCN) per decoded token. Decode on a pipe-free mesh instead.
+            raise ValueError(
+                "KV-cache decode is not supported under a 'pipe' mesh — "
+                "build the inference mesh without a pipe axis "
+                "(parallel/pipeline.py is a training-forward schedule)")
     if inputs_embeds is None:
         inputs_embeds = params["tok_embeddings"][input_ids]
     x = inputs_embeds

@@ -64,24 +64,6 @@ def _pad_axis(x: jnp.ndarray, axis: int, target: int, value=0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _match_vma(init, *refs):
-    """Mark a fresh zero-init scan carry as varying over whatever manual
-    (shard_map) axes the data it will accumulate is varying over.
-
-    Under shard_map with auto-varying tracking (e.g. the pipeline's manual
-    'pipe' axis, parallel/pipeline.py) the q/k/seg inputs carry {V:axis}
-    types while ``jnp.zeros`` does not; the ``lax.switch`` identity branch
-    would then return an unvarying carry while the compute branches return
-    varying ones — a type error. Outside shard_map this is a no-op."""
-    vma = frozenset()
-    for r in refs:
-        vma |= jax.typeof(r).vma
-    if not vma:
-        return init
-    return jax.tree_util.tree_map(
-        lambda t: jax.lax.pcast(t, tuple(vma), to="varying"), init)
-
-
 def _block_mask(seg_q, seg_k, pos_q, pos_k, causal: bool):
     """(bq, bk) boolean mask for one (q block, k block) pair."""
     m = (seg_q[:, None] == seg_k[None, :]) & (seg_q[:, None] != 0)
@@ -177,11 +159,11 @@ def _fwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, statics: AttnStatics):
                 idx, [lambda c: c, masked, lambda c: compute(c, None)],
                 carry), None
 
-        init = _match_vma((
+        init = (
             jnp.zeros((Hq, bq, D), jnp.float32),
             jnp.full((Hq, bq), NEG_INF, jnp.float32),
             jnp.zeros((Hq, bq), jnp.float32),
-        ), qf, kr, sqb)
+        )
         (acc, m, l), _ = jax.lax.scan(
             kv_step, init,
             (kr, vr, seg_kr, pos_kr, sk_mins, sk_maxs, pk_mins, pk_maxs))
@@ -307,9 +289,8 @@ def _bwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do,
                 idx, [lambda c: c, masked, lambda c: compute(c, None)],
                 carry), None
 
-        init = _match_vma((jnp.zeros((bk, Hkv, D), jnp.float32),
-                           jnp.zeros((bk, Hkv, D), jnp.float32)),
-                          qr, kb, dor)
+        init = (jnp.zeros((bk, Hkv, D), jnp.float32),
+                jnp.zeros((bk, Hkv, D), jnp.float32))
         (dk_b, dv_b), _ = jax.lax.scan(
             q_step, init,
             (qr, dor, seg_qr, pos_qr,
@@ -349,8 +330,7 @@ def _bwd_jnp_1b(q, k, v, seg_q, seg_k, pos_q, pos_k, out, lse, do,
                 dq_acc), None
 
         dq_b, _ = jax.lax.scan(
-            kv_step,
-            _match_vma(jnp.zeros((bq, Hq, D), jnp.float32), qb, kr, dob),
+            kv_step, jnp.zeros((bq, Hq, D), jnp.float32),
             (kr, vr, seg_kr, pos_kr, sk_mins, sk_maxs, pk_mins, pk_maxs))
         return None, dq_b
 

@@ -137,8 +137,10 @@ def _num_granules(devices) -> int:
 
 
 def make_global_mesh(cfg: MeshConfig, devices=None) -> Mesh:
-    """A Mesh whose ``data`` axis rides DCN across slices/hosts and whose
-    fsdp/seq/tensor axes stay inside a slice (ICI).
+    """A Mesh whose outermost axis rides DCN across slices/hosts — the
+    ``pipe`` axis when one is sized (stage handoffs are the only cross-
+    slice traffic), else ``data`` — with the remaining axes inside a
+    slice (ICI).
 
     Single-process: plain reshape (identical to parallel.mesh.make_mesh).
     Multi-slice TPU: ``mesh_utils.create_hybrid_device_mesh`` so physical

@@ -41,6 +41,7 @@ attention runs the plain (GSPMD-partitionable) path.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import jax
@@ -48,6 +49,8 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from v2pe_tpu.parallel import context as pctx
+
+_logger = logging.getLogger(__name__)
 
 
 def choose_microbatches(batch: int, n_pipe: int, requested: int = 0,
@@ -69,6 +72,17 @@ def choose_microbatches(batch: int, n_pipe: int, requested: int = 0,
     for m in range(min(batch, 2 * n_pipe), 0, -1):
         if batch % m == 0:
             if (batch // m) % dp == 0:
+                if m == 1 and n_pipe > 1:
+                    # B rows already spread 1-per-dp-group: microbatching
+                    # below one row per group would idle dp groups, so the
+                    # schedule degenerates to sequential model parallelism
+                    # (bubble (P-1)/P). Surface it — the fix is a larger
+                    # global batch or explicit --pipe_microbatches.
+                    _logger.warning(
+                        "pipeline: batch=%d over dp=%d leaves 1 microbatch "
+                        "— no overlap across %d stages (bubble %.0f%%); "
+                        "grow the batch or set pipe_microbatches",
+                        batch, dp, n_pipe, 100 * (n_pipe - 1) / n_pipe)
                 return m
             best = max(best, m) if best == 1 else best
     return best
@@ -201,8 +215,11 @@ def pipeline_llm_layers(
                 write, jax.lax.dynamic_update_index_in_dim(
                     out_buf, y.astype(jnp.float32), mc, 0),
                 out_buf)
+            # no wrap edge: stage 0 never reads its incoming state (it
+            # takes x_all), so the P-1 -> 0 hop would be (B/M, S, D) of
+            # dead traffic over DCN every tick; non-receivers zero-fill
             state = jax.lax.ppermute(
-                y, axis, [(i, (i + 1) % n_pipe) for i in range(n_pipe)])
+                y, axis, [(i, i + 1) for i in range(n_pipe - 1)])
             return (state, out_buf), None
 
         state0 = jnp.zeros_like(_mb_take(x_all, 0), dtype=cdtype)
