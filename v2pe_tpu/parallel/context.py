@@ -23,6 +23,9 @@ class ShardingContext:
     tensor_axis: str = "tensor"
     pipe_axis: str = "pipe"
     pipe_microbatches: int = 0  # 0 = auto (parallel/pipeline.py)
+    ring_mode: str = "scan"  # 'scan' (2-slot ppermute ring, memory-lean) |
+    # 'fused' (in-kernel RDMA streaming, parallel/ring_fused.py — fastest,
+    # holds the full gathered KV per device)
 
     @property
     def seq_shards(self) -> int:

@@ -158,6 +158,12 @@ def _ring_fwd_impl(axis_name, statics, q, k, v, seg_q, seg_k, pos_q, pos_k):
 
     def step(carry, _):
         out, lse, kc, vc, segc, posc = carry
+        # Issue the rotation BEFORE the compute: the next chunk's
+        # collective-permute has no data dependency on this step's attention,
+        # so XLA's latency-hiding scheduler can run it concurrently with the
+        # kernel (async collective-permute over ICI). Same values, same
+        # collective count — only the schedule changes.
+        kc_n, vc_n, segc_n, posc_n = _rotate((kc, vc, segc, posc), axis_name)
 
         def skip(args):
             return args
@@ -200,8 +206,7 @@ def _ring_fwd_impl(axis_name, statics, q, k, v, seg_q, seg_k, pos_q, pos_k):
             out, lse = jax.lax.cond(
                 _chunk_has_work(statics, seg_q, segc, pos_q, posc),
                 run(q, kc, vc, seg_q, segc, pos_q, posc, 0), skip, pred_args)
-        kc, vc, segc, posc = _rotate((kc, vc, segc, posc), axis_name)
-        return (out, lse, kc, vc, segc, posc), None
+        return (out, lse, kc_n, vc_n, segc_n, posc_n), None
 
     init = (jnp.zeros((B, Sq, Hq, D), jnp.float32),
             jnp.full((B, Hq, Sq), NEG_INF, jnp.float32),
@@ -225,6 +230,10 @@ def _ring_bwd(axis_name, statics, res, do):
 
     def step(carry, _):
         dq_acc, kc, vc, segc, posc, dkc, dvc = carry
+        # Pre-issue the k/v/seg/pos rotation (no dependency on this step's
+        # kernels -> overlaps with compute). dk/dv are produced by the
+        # compute, so their rotation stays on the critical path below.
+        kc_n, vc_n, segc_n, posc_n = _rotate((kc, vc, segc, posc), axis_name)
 
         def skip(args):
             return args
@@ -287,9 +296,8 @@ def _ring_bwd(axis_name, statics, res, do):
             dq_acc, dkc, dvc = jax.lax.cond(
                 _chunk_has_work(statics, seg_q, segc, pos_q, posc),
                 run(None, None, 0, 0), skip, args)
-        kc, vc, segc, posc, dkc, dvc = _rotate(
-            (kc, vc, segc, posc, dkc, dvc), axis_name)
-        return (dq_acc, kc, vc, segc, posc, dkc, dvc), None
+        dkc, dvc = _rotate((dkc, dvc), axis_name)
+        return (dq_acc, kc_n, vc_n, segc_n, posc_n, dkc, dvc), None
 
     init = (jnp.zeros(q.shape, jnp.float32), k, v, seg_k, pos_k,
             jnp.zeros(k.shape, jnp.float32), jnp.zeros(v.shape, jnp.float32))

@@ -80,6 +80,17 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pipe_microbatches", type=int, default=0,
                    help="GPipe microbatches (0 = auto; must divide the "
                         "global row count)")
+    p.add_argument("--ring_mode", choices=["scan", "fused"], default="scan",
+                   help="ring-attention transport: 'scan' = ppermute ring "
+                        "(memory-lean), 'fused' = in-kernel RDMA streaming "
+                        "(parallel/ring_fused.py; holds gathered KV). "
+                        "Off-TPU, 'fused' runs via the Pallas interpreter "
+                        "and requires --no_remat (its DMA-simulator IO "
+                        "effects cannot live under jax.checkpoint)")
+    p.add_argument("--no_remat", action="store_true",
+                   help="disable per-layer rematerialization (gradient "
+                        "checkpointing); faster but peak-memory-heavy — "
+                        "only for small models/contexts")
     # training-recipe knobs (internvl_chat_finetune.py:110-150)
     p.add_argument("--drop_path_rate", type=float, default=0.0,
                    help="ViT stochastic depth; published V2PE recipes "
@@ -236,7 +247,8 @@ def main(argv=None):
     train(cfg, params, packer, run, tc, mesh_cfg=mesh_cfg,
           img_context_token_id=ctx_id, resume=not args.no_resume,
           pixel_dtype=pixel_dtype, metrics_hook=hook,
-          pipe_microbatches=args.pipe_microbatches)
+          pipe_microbatches=args.pipe_microbatches,
+          ring_mode=args.ring_mode, remat=not args.no_remat)
 
 
 if __name__ == "__main__":

@@ -58,7 +58,8 @@ def loss_fn(params, cfg: VLMConfig, batch, img_context_token_id: int,
 def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation,
                     mesh: Optional[Mesh], img_context_token_id: int,
                     attn_impl: str = "auto", remat: bool = True,
-                    donate: bool = True, pipe_microbatches: int = 0):
+                    donate: bool = True, pipe_microbatches: int = 0,
+                    ring_mode: str = "scan"):
     """Returns step(params, opt_state, batch) -> (params, opt_state, metrics).
 
     When `mesh` is given the step is jitted with sharded in/out specs and a
@@ -78,7 +79,8 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation,
         return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
     ctx = pctx.ShardingContext(mesh=mesh,
-                               pipe_microbatches=pipe_microbatches)
+                               pipe_microbatches=pipe_microbatches,
+                               ring_mode=ring_mode)
 
     def step_with_ctx(params, opt_state, batch, dropout_rng=None):
         with pctx.use_sharding(ctx):

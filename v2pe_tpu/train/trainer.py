@@ -87,6 +87,8 @@ def train(
     pixel_dtype=np.float32,
     metrics_hook: Optional[Callable[[int, dict], None]] = None,
     pipe_microbatches: int = 0,
+    ring_mode: str = "scan",
+    remat: bool = True,
 ):
     """Run the training loop; returns (params, opt_state, step).
 
@@ -104,8 +106,9 @@ def train(
         params = shard_params(params, mesh)
     opt_state = init_opt_state(tx, params, mesh)
     step_fn = make_train_step(cfg, tx, mesh, img_context_token_id,
-                              attn_impl=attn_impl, remat=True,
-                              pipe_microbatches=pipe_microbatches)
+                              attn_impl=attn_impl, remat=remat,
+                              pipe_microbatches=pipe_microbatches,
+                              ring_mode=ring_mode)
 
     start_step = 0
     if resume:
