@@ -83,10 +83,10 @@ def _masked_compare(got, ref, seg, atol=2e-5):
 
 
 def test_fused_ring_smoke_4dev():
-    """Fast default-set check: full ring streaming protocol (all hops,
-    slot forwarding, barrier, drain) on a 4-device ring at small shapes.
-    The 8-device / larger-shape variants are in the slow set — the Pallas
-    interpreter costs minutes per grid-step-thousand on this 1-core box."""
+    """Smallest full-protocol check (all hops, slot forwarding, barrier,
+    drain) on a 4-device ring — a fast first signal when bisecting. The
+    noncausal and multi-q-block variants are in the slow set; the
+    interpreter's cost grows superlinearly in grid steps on this box."""
     q, k, v, seg = _inputs(seed=5, s=256, hq=2, hkv=1)
     got = _run_fused(q, k, v, seg, block=32, world=4)
     _masked_compare(got, _dense_ref(q, k, v, seg), seg)

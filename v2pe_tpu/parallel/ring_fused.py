@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from v2pe_tpu.ops.attention import AttnStatics
+from v2pe_tpu.ops.attention import AttnStatics, _pad_axis
 from v2pe_tpu.ops.flash_pallas import NEG_INF, LANES, _cdiv, pick_block
 from v2pe_tpu.parallel import ring as _ring
 
@@ -129,11 +129,18 @@ def _kernel(seg_q_ref, pos_q_ref, q_ref,      # blocked operands
                             device_id_type=MESH).start()
 
     # ---------------- KV staging: HBM -> VMEM double buffer ---------------
+    # Parity is GLOBAL over the (hop, kv-block) sweep — t = s*nk + j — so
+    # prefetch can cross hop boundaries: at (s, nk-1) the next stage copy
+    # targets the opposite buffer even when nk is odd. Only the first
+    # (b, h, i) block must stall at each hop start: its chunk lands in
+    # `bufs` under the recv wait issued above in this same invocation; all
+    # later blocks find every hop resident (sequential grid order) and
+    # stream the whole n*nk sweep with no staging gap.
     stages = (kst, vst, segst, posst)
 
-    def _start_stage(par, jj):
-        """Issue async copies of kv-block ``jj`` of the current hop into
-        staging parity ``par``."""
+    def _start_stage(par, hop, jj):
+        """Issue async copies of kv-block ``jj`` of hop ``hop`` into
+        staging parity ``par`` (all arguments may be traced)."""
         def issue(srcs):
             pltpu.make_async_copy(
                 srcs[0].at[b, hkv, pl.ds(jj * bk, bk), :], kst.at[par],
@@ -149,13 +156,13 @@ def _kernel(seg_q_ref, pos_q_ref, q_ref,      # blocked operands
                 cp_sem.at[par, 3]).start()
 
         if n > 1:
-            @pl.when(s == 0)
+            @pl.when(hop == 0)
             def _local():
                 issue(chunk_srcs)
 
-            @pl.when(s > 0)
+            @pl.when(hop > 0)
             def _gathered():
-                issue(tuple(buf.at[s - 1] for buf in bufs))
+                issue(tuple(buf.at[hop - 1] for buf in bufs))
         else:
             issue(chunk_srcs)
 
@@ -164,17 +171,35 @@ def _kernel(seg_q_ref, pos_q_ref, q_ref,      # blocked operands
             pltpu.make_async_copy(ref.at[par], ref.at[par],
                                   cp_sem.at[par, t]).wait()
 
-    par = jax.lax.rem(j, 2)
+    t_blk = s * nk + j
+    par = jax.lax.rem(t_blk, 2)
 
-    @pl.when(j == 0)
+    @pl.when(t_blk == 0)
     def _cold_start():
-        _start_stage(0, 0)
+        _start_stage(0, 0, 0)
+
+    if n > 1:
+        # first (b,h,i) block: hop s's chunk only just arrived (recv wait
+        # above) — the cross-hop prefetch below skipped it, issue it now
+        @pl.when(first_block & (j == 0) & (s > 0))
+        def _hop_start():
+            _start_stage(par, s, 0)
 
     _wait_stage(par)
 
-    @pl.when(j + 1 < nk)
+    nxt = t_blk + 1
+    cross = j + 1 >= nk  # next stage copy crosses a hop boundary
+    may_prefetch = nxt < n * nk
+    if n > 1:
+        # first_block can't prefetch across hops: the source chunk hasn't
+        # been recv-waited yet (it may still be in flight from the left
+        # neighbor); _hop_start covers it next invocation instead
+        may_prefetch &= jnp.logical_not(first_block & cross)
+
+    @pl.when(may_prefetch)
     def _lookahead():
-        _start_stage(jax.lax.rem(j + 1, 2), j + 1)
+        _start_stage(jax.lax.rem(nxt, 2), jax.lax.div(nxt, nk),
+                     jax.lax.rem(nxt, nk))
 
     # ---------------- flash-attention block update ------------------------
     @pl.when((s == 0) & (j == 0))
@@ -282,22 +307,15 @@ def _fused_fwd_impl(axis_name: str, statics: AttnStatics,
     nq, nk = _cdiv(Sq, bq), _cdiv(Sk, bk)
     Sq_p, Sk_p = nq * bq, nk * bk
 
-    def padax(x, axis, target, value=0):
-        pad = target - x.shape[axis]
-        if pad == 0:
-            return x
-        w = [(0, 0)] * x.ndim
-        w[axis] = (0, pad)
-        return jnp.pad(x, w, constant_values=value)
-
-    qt = padax(jnp.swapaxes(q, 1, 2), 2, Sq_p)           # (B,Hq,Sq_p,D)
-    kt = padax(jnp.swapaxes(k, 1, 2), 2, Sk_p)           # (B,Hkv,Sk_p,D)
-    vt = padax(jnp.swapaxes(v, 1, 2), 2, Sk_p)
-    seg_q2 = padax(seg_q.astype(jnp.int32), 1, Sq_p)[:, None, :]
-    seg_k2 = padax(seg_k.astype(jnp.int32), 1, Sk_p)[:, None, :]
-    pos_q2 = padax(pos_q.astype(jnp.int32), 1, Sq_p, value=-1)[:, None, :]
-    pos_k2 = padax(pos_k.astype(jnp.int32), 1, Sk_p,
-                   value=2 ** 30)[:, None, :]
+    qt = _pad_axis(jnp.swapaxes(q, 1, 2), 2, Sq_p)       # (B,Hq,Sq_p,D)
+    kt = _pad_axis(jnp.swapaxes(k, 1, 2), 2, Sk_p)       # (B,Hkv,Sk_p,D)
+    vt = _pad_axis(jnp.swapaxes(v, 1, 2), 2, Sk_p)
+    seg_q2 = _pad_axis(seg_q.astype(jnp.int32), 1, Sq_p)[:, None, :]
+    seg_k2 = _pad_axis(seg_k.astype(jnp.int32), 1, Sk_p)[:, None, :]
+    pos_q2 = _pad_axis(pos_q.astype(jnp.int32), 1, Sq_p,
+                       value=-1)[:, None, :]
+    pos_k2 = _pad_axis(pos_k.astype(jnp.int32), 1, Sk_p,
+                       value=2 ** 30)[:, None, :]
 
     grid = (B, Hq, nq, n, nk)
     kernel = functools.partial(

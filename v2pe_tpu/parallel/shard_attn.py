@@ -55,11 +55,14 @@ def sharded_flash_attention(ctx: ShardingContext, statics: AttnStatics,
 
             q, k = _apply_rope_jnp(q, k, rope_q, rope_k, statics.rope_theta)
         ring_statics = statics._replace(ordered=False, rope_theta=0.0)
-        if getattr(ctx, "ring_mode", "scan") == "fused":
+        if ctx.ring_mode == "fused":
             from v2pe_tpu.parallel.ring_fused import \
                 fused_ring_flash_attention as _ring_impl
-        else:
+        elif ctx.ring_mode == "scan":
             _ring_impl = ring_flash_attention
+        else:
+            raise ValueError(f"unknown ring_mode {ctx.ring_mode!r} "
+                             "(expected 'scan' or 'fused')")
 
         def fn(q, k, v, sq, sk, pq, pk):
             return _ring_impl(sa, ring_statics, q, k, v, sq, sk, pq, pk)

@@ -78,6 +78,14 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation,
     if mesh is None:
         return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
+    if (ring_mode == "fused" and remat
+            and jax.default_backend() != "tpu"):
+        # interpret-mode pallas (the off-TPU rendering of the fused kernel)
+        # uses ordered-IO callbacks that jax.checkpoint cannot partial-eval
+        raise ValueError(
+            "ring_mode='fused' off-TPU runs via the Pallas interpreter and "
+            "cannot be rematerialized — pass remat=False (CLI: --no_remat) "
+            "or use ring_mode='scan'")
     ctx = pctx.ShardingContext(mesh=mesh,
                                pipe_microbatches=pipe_microbatches,
                                ring_mode=ring_mode)
