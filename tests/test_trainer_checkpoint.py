@@ -107,3 +107,43 @@ def test_checkpoint_roundtrip_exact(tmp_path):
         cfg_back = VLMConfig.from_json(f.read())
     assert cfg_back == cfg_saved
     assert cfg_back.rope_pos_id_stride == 32
+
+
+def test_async_saver_commit_semantics(tmp_path):
+    """AsyncSaver: a step dir is invisible to list/latest until finalize
+    writes the commit marker; after finalize the restore is exact; the
+    next save finalizes the previous one; pruning respects the limit."""
+    cfg = _cfg(300)
+    params = init_vlm_params(jax.random.PRNGKey(2), cfg)
+    tc = TrainConfig()
+    tx = build_optimizer(tc, params)
+    opt_state = tx.init(params)
+
+    saver = ckpt_lib.AsyncSaver()
+    try:
+        path1 = saver.save(str(tmp_path), 1, params, opt_state,
+                           data_state={"cursors": {"a": 1}},
+                           save_total_limit=2, cfg=cfg)
+        # orbax may still be writing; the commit marker must NOT exist yet,
+        # so a crash here can't leave a resumable-looking corrupt dir
+        assert not os.path.exists(os.path.join(path1, "meta.json"))
+        assert ckpt_lib.latest_checkpoint(str(tmp_path)) is None
+
+        assert saver.finalize() == path1
+        assert ckpt_lib.latest_checkpoint(str(tmp_path)) == path1
+        p2, o2, step, ds = ckpt_lib.restore_checkpoint(
+            path1, params, opt_state)
+        assert step == 1 and ds["cursors"] == {"a": 1}
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # saves 2 and 3: each save commits its predecessor; limit=2 prunes
+        # step 1 once step 3 commits
+        saver.save(str(tmp_path), 2, params, opt_state,
+                   save_total_limit=2)
+        saver.save(str(tmp_path), 3, params, opt_state,
+                   save_total_limit=2)  # finalizes step 2
+        assert ckpt_lib.list_checkpoints(str(tmp_path)) == [1, 2]
+    finally:
+        saver.close()  # finalizes step 3 + prunes step 1
+    assert ckpt_lib.list_checkpoints(str(tmp_path)) == [2, 3]

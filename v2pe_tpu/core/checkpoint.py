@@ -69,6 +69,93 @@ def save_checkpoint(ckpt_dir: str, step: int, params, opt_state,
     return path
 
 
+class AsyncSaver:
+    """Asynchronous checkpoint writer for the training loop.
+
+    ``save`` returns as soon as the device arrays are snapshotted to host
+    (orbax ``AsyncCheckpointer`` — the device->host copy is synchronous, so
+    donated params/opt buffers may be reused by the next step immediately);
+    serialization to disk proceeds in background threads while training
+    continues. The reference stalls the step loop for the full DeepSpeed
+    gather+write (trainer.save_model); here the loop only ever waits if the
+    previous save is still in flight when the next one starts.
+
+    ``meta.json`` — the commit marker :func:`list_checkpoints` keys on — is
+    written only in :meth:`finalize`, after the background write completes,
+    so a crash mid-write can never leave a resumable-looking but corrupt
+    step dir. Pruning (``save_total_limit``) is likewise deferred. Call
+    :meth:`finalize` before reading checkpoints or exiting (the trainer does
+    both); in multi-host runs every process must call save/finalize
+    collectively, matching :func:`save_checkpoint`.
+    """
+
+    def __init__(self):
+        self._ckptrs = None  # (params, opt_state) AsyncCheckpointers
+        self._pending = None
+
+    def _checkpointers(self):
+        if self._ckptrs is None:
+            ocp = _ocp()
+            self._ckptrs = (ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler()),
+                            ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler()))
+        return self._ckptrs
+
+    def save(self, ckpt_dir: str, step: int, params, opt_state,
+             data_state: Optional[dict] = None,
+             save_total_limit: Optional[int] = None,
+             cfg=None) -> str:
+        self.finalize()
+        path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
+        cp, co = self._checkpointers()
+        cp.save(os.path.join(path, "params"), params)
+        co.save(os.path.join(path, "opt_state"), opt_state)
+        pid = jax.process_index()
+        if data_state is not None:  # host data, cheap — write inline
+            os.makedirs(path, exist_ok=True)
+            with open(os.path.join(path, f"data_state_p{pid}.pkl"),
+                      "wb") as f:
+                pickle.dump(data_state, f)
+        if pid == 0 and cfg is not None:
+            os.makedirs(path, exist_ok=True)
+            with open(os.path.join(path, "config.json"), "w") as f:
+                f.write(cfg.to_json())
+        self._pending = {"path": path, "step": step, "ckpt_dir": ckpt_dir,
+                         "limit": save_total_limit}
+        return path
+
+    def finalize(self) -> Optional[str]:
+        """Block until the in-flight save (if any) is durable, then write
+        the commit marker and prune. Returns the committed path."""
+        if self._pending is None:
+            return None
+        for c in self._ckptrs:
+            c.wait_until_finished()
+        p, self._pending = self._pending, None
+        pid = jax.process_index()
+        if pid == 0:
+            with open(os.path.join(p["path"], "meta.json"), "w") as f:
+                json.dump({"step": p["step"],
+                           "num_processes": jax.process_count()}, f)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(
+                f"v2pe_ckpt_commit_{p['step']}")
+        if p["limit"] and pid == 0:
+            for s in sorted(list_checkpoints(p["ckpt_dir"]))[:-p["limit"]]:
+                shutil.rmtree(
+                    os.path.join(p["ckpt_dir"], f"step_{s:08d}"),
+                    ignore_errors=True)
+        return p["path"]
+
+    def close(self):
+        self.finalize()
+        if self._ckptrs is not None:
+            for c in self._ckptrs:
+                c.close()
+            self._ckptrs = None
+
+
 def list_checkpoints(ckpt_dir: str):
     if not os.path.isdir(ckpt_dir):
         return []

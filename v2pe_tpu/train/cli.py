@@ -87,6 +87,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "Off-TPU, 'fused' runs via the Pallas interpreter "
                         "and requires --no_remat (its DMA-simulator IO "
                         "effects cannot live under jax.checkpoint)")
+    p.add_argument("--sync_save", action="store_true",
+                   help="write checkpoints synchronously (default: async — "
+                        "the step loop resumes once arrays are snapshotted "
+                        "to host; disk writes overlap training)")
     p.add_argument("--no_remat", action="store_true",
                    help="disable per-layer rematerialization (gradient "
                         "checkpointing); faster but peak-memory-heavy — "
@@ -248,7 +252,8 @@ def main(argv=None):
           img_context_token_id=ctx_id, resume=not args.no_resume,
           pixel_dtype=pixel_dtype, metrics_hook=hook,
           pipe_microbatches=args.pipe_microbatches,
-          ring_mode=args.ring_mode, remat=not args.no_remat)
+          ring_mode=args.ring_mode, remat=not args.no_remat,
+          async_save=not args.sync_save)
 
 
 if __name__ == "__main__":

@@ -89,6 +89,7 @@ def train(
     pipe_microbatches: int = 0,
     ring_mode: str = "scan",
     remat: bool = True,
+    async_save: bool = True,
 ):
     """Run the training loop; returns (params, opt_state, step).
 
@@ -138,6 +139,7 @@ def train(
         batch.pop("statistics")
         return batch, data_state
 
+    saver = ckpt_lib.AsyncSaver() if async_save else None
     prefetch = Prefetcher(make_batch)
     sched = lr_schedule(tc)
     t_last = time.time()
@@ -183,13 +185,24 @@ def train(
                 tokens_since = 0
 
             if (step + 1) % run.save_steps == 0 or step + 1 == run.max_steps:
-                path = ckpt_lib.save_checkpoint(
-                    run.output_dir, step + 1, params, opt_state,
-                    data_state=(consumed_state if consumed_state is not None
-                                else packer.state_dict()),
-                    save_total_limit=run.save_total_limit, cfg=cfg)
+                ds = (consumed_state if consumed_state is not None
+                      else packer.state_dict())
+                if saver is not None:
+                    # returns once device arrays are snapshotted; disk write
+                    # overlaps the following steps (commit at next save/exit)
+                    path = saver.save(
+                        run.output_dir, step + 1, params, opt_state,
+                        data_state=ds,
+                        save_total_limit=run.save_total_limit, cfg=cfg)
+                else:
+                    path = ckpt_lib.save_checkpoint(
+                        run.output_dir, step + 1, params, opt_state,
+                        data_state=ds,
+                        save_total_limit=run.save_total_limit, cfg=cfg)
                 logger.info("saved %s", path)
     finally:
         prefetch.stop()
+        if saver is not None:
+            saver.close()
 
     return params, opt_state, run.max_steps
