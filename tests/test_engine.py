@@ -296,3 +296,55 @@ def test_page_allocator_sharded():
     assert a.shortage(5, 0) == {0: 2, 1: 1}
     a.release(pages)
     assert a.alloc(5, first_slot=0) is not None
+
+
+def test_engine_chat_facade_matches_chat(chat_model):
+    """EngineChat.chat == ChatModel.chat (greedy), incl. image turns,
+    history threading, and attribute delegation; threaded run_shard
+    through the facade writes the same records as sequential chat."""
+    from PIL import Image
+
+    from v2pe_tpu.evalkit import runner
+    from v2pe_tpu.serve.engine import EngineChat
+
+    img = Image.fromarray(
+        np.random.RandomState(1).randint(0, 255, (60, 72, 3), np.uint8))
+    pv, _ = chat_model.load_pixels(img)
+    gc = GenerationConfig(max_new_tokens=5)
+
+    ec = EngineChat(chat_model, max_rows=2, max_len=1024, page_size=8,
+                    chunk_size=64, decode_block=4)
+    try:
+        # delegation
+        assert ec.cfg is chat_model.cfg
+        pv2, n2 = ec.load_pixels(img)
+        np.testing.assert_array_equal(pv2, pv)
+
+        ref = chat_model.chat(pv, QUESTIONS[0], gc)
+        got, hist = ec.chat(pv, QUESTIONS[0], gc, return_history=True)
+        assert got == ref
+        assert hist[-1][1] == ref
+
+        with pytest.raises(ValueError):
+            ec.chat(None, "q", GenerationConfig(do_sample=True))
+
+        # threaded shard through the facade == sequential records
+        items = [{"id": i, "q": q} for i, q in enumerate(QUESTIONS)]
+
+        def infer(item):
+            return {"id": item["id"],
+                    "pred": ec.chat(None, item["q"], gc)}
+
+        out = "/tmp/engine_chat_shard.jsonl"
+        import os
+        if os.path.exists(out):
+            os.remove(out)
+        n = runner.run_shard(items, infer, out, workers=3)
+        assert n == len(items)
+        import json
+        recs = {r["id"]: r["pred"]
+                for r in map(json.loads, open(out))}
+        for it in items:
+            assert recs[it["id"]] == chat_model.chat(None, it["q"], gc)
+    finally:
+        ec.stop()

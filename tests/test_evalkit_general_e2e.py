@@ -151,3 +151,37 @@ def test_cli_score_only_route(tmp_path, capsys):
           "--outputs-dir", str(tmp_path), "--score-only"])
     out = json.loads(capsys.readouterr().out)
     assert out["overall"]["acc"] == 1.0
+
+
+def test_pope_engine_batched_matches_sequential(toy_model, img_path,
+                                                tmp_path):
+    """--engine-rows path: the same benchmark run through EngineChat +
+    threaded run_shard produces records identical to the sequential
+    ChatModel run (greedy engine/chat parity extends to the eval stack)."""
+    from v2pe_tpu.serve.engine import EngineChat
+
+    items = [
+        {"question_id": i, "category": "random", "order": i,
+         "image": img_path, "text": q}
+        for i, q in enumerate(["Is there a dog?", "Is there a cat?",
+                               "Is there a tree?", "Is there a car?"])
+    ]
+    merged_seq = _run("pope", items, toy_model, tmp_path)
+
+    ec = EngineChat(toy_model, max_rows=2, max_len=1024, page_size=8,
+                    chunk_size=64, decode_block=4)
+    try:
+        infer = general.build_infer_fn("pope", ec, max_tiles=2,
+                                       generation_config=GC)
+        out = str(tmp_path / "pope_eng.rank0.jsonl")
+        id_key = general.ID_KEYS["pope"]
+        n = runner.run_shard(items, infer, out, id_key=id_key, workers=2)
+        assert n == len(items)
+        merged_eng = str(tmp_path / "pope_eng.jsonl")
+        runner.merge_shards([out], merged_eng, id_key=id_key)
+    finally:
+        ec.stop()
+
+    seq = {r[id_key]: r for r in map(json.loads, open(merged_seq))}
+    eng = {r[id_key]: r for r in map(json.loads, open(merged_eng))}
+    assert seq == eng

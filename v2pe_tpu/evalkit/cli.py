@@ -66,6 +66,14 @@ def build_argparser():
                    help="module:callable judge for open-ended video QA "
                         "(messages -> response str); scoring is skipped "
                         "when absent and only outputs are written")
+    p.add_argument("--engine-rows", type=int, default=0,
+                   help=">0: batch samples through the continuous-batching "
+                        "engine with this many concurrent rows (greedy "
+                        "only; excludes --num-beams > 1). The reference "
+                        "evaluates strictly one sample at a time")
+    p.add_argument("--engine-max-len", type=int, default=8192,
+                   help="per-row prompt+generation capacity when "
+                        "--engine-rows is set")
     p.add_argument("--num-frames", type=int, default=16,
                    help="video suite frames per clip")
     p.add_argument("--frame-sample", default="middle",
@@ -117,8 +125,18 @@ def load_chat_model(args):
     else:
         params = load_safetensors_checkpoint(args.checkpoint, cfg,
                                              jnp.bfloat16)
-    return ChatModel(params, cfg, tokenizer,
-                     weights_dtype=getattr(args, "weights_dtype", None))
+    model = ChatModel(params, cfg, tokenizer,
+                      weights_dtype=getattr(args, "weights_dtype", None))
+    rows = getattr(args, "engine_rows", 0)
+    if rows > 0:
+        if getattr(args, "num_beams", 1) > 1:
+            raise SystemExit("--engine-rows batches greedy decodes; "
+                             "it cannot combine with --num-beams > 1")
+        from v2pe_tpu.serve.engine import EngineChat
+
+        model = EngineChat(model, max_rows=rows,
+                           max_len=getattr(args, "engine_max_len", 8192))
+    return model
 
 
 def main(argv=None):
@@ -150,7 +168,8 @@ def main(argv=None):
         out = os.path.join(args.outputs_dir,
                            f"model_{args.task}.rank{args.rank}.jsonl")
         n = runner.run_shard(items, infer, out, rank=args.rank,
-                             world=args.world)
+                             world=args.world,
+                             workers=max(1, args.engine_rows))
         logging.info("answered %d items -> %s", n, out)
         if args.rank == 0 and args.world == 1:
             merged = os.path.join(args.outputs_dir,
@@ -194,7 +213,8 @@ def main(argv=None):
                            f"{args.benchmark}.rank{args.rank}.jsonl")
         id_key = general.ID_KEYS[args.benchmark]
         n = runner.run_shard(items, infer, out, rank=args.rank,
-                             world=args.world, id_key=id_key)
+                             world=args.world, id_key=id_key,
+                             workers=max(1, args.engine_rows))
         logging.info("answered %d items -> %s", n, out)
         if args.rank == 0 and args.world == 1:
             runner.merge_shards([out], merged, id_key=id_key)
@@ -228,7 +248,8 @@ def main(argv=None):
         out = os.path.join(args.outputs_dir,
                            f"{args.task}.rank{args.rank}.jsonl")
         n = runner.run_shard(items, infer, out, rank=args.rank,
-                             world=args.world)
+                             world=args.world,
+                             workers=max(1, args.engine_rows))
         logging.info("answered %d items -> %s", n, out)
         if args.rank == 0 and args.world == 1:
             preds = runner.merge_shards([out], merged)
@@ -277,7 +298,8 @@ def main(argv=None):
                            f"{args.task}.rank{args.rank}.jsonl")
         vid_key = "question_id" if args.benchmark == "videomme" else "id"
         n = runner.run_shard(items, infer, out, rank=args.rank,
-                             world=args.world, id_key=vid_key)
+                             world=args.world, id_key=vid_key,
+                             workers=max(1, args.engine_rows))
         logging.info("answered %d items -> %s", n, out)
         if args.rank == 0 and args.world == 1:
             results = runner.merge_shards([out], merged, id_key=vid_key)
@@ -337,7 +359,8 @@ def main(argv=None):
         out = os.path.join(args.outputs_dir,
                            f"{args.task}.rank{args.rank}.jsonl")
         n = runner.run_shard(items, infer, out, rank=args.rank,
-                             world=args.world)
+                             world=args.world,
+                             workers=max(1, args.engine_rows))
         logging.info("answered %d items -> %s", n, out)
         if args.rank == 0 and args.world == 1:
             results = runner.merge_shards([out], merged)
@@ -374,7 +397,8 @@ def main(argv=None):
         out = os.path.join(args.outputs_dir,
                            f"{ds_name}.rank{args.rank}.jsonl")
         n = runner.run_shard(items, infer, out, rank=args.rank,
-                             world=args.world)
+                             world=args.world,
+                             workers=max(1, args.engine_rows))
         logging.info("answered %d items -> %s", n, out)
         if args.rank == 0 and args.world == 1:
             outputs = runner.merge_shards([out], merged)
@@ -405,7 +429,8 @@ def main(argv=None):
         out = os.path.join(args.outputs_dir,
                            f"result_{task}.rank{args.rank}.jsonl")
         n = runner.run_shard(items, infer, out, rank=args.rank,
-                             world=args.world)
+                             world=args.world,
+                             workers=max(1, args.engine_rows))
         logging.info("answered %d items -> %s", n, out)
         if args.rank == 0 and args.world == 1:
             results = runner.merge_shards([out], merged)

@@ -43,35 +43,79 @@ def run_shard(
     world: int = 1,
     max_consecutive_failures: int = 20,
     resume: bool = True,
+    workers: int = 1,
 ) -> int:
     """Run ``infer_fn`` over this worker's shard, appending jsonl results.
 
     infer_fn(item) -> result dict (must include id_key). Returns the number
-    of newly answered items."""
+    of newly answered items.
+
+    ``workers > 1`` runs infer_fn from a thread pool — pair it with an
+    engine-backed model (``serve.engine.EngineChat``) so concurrent chat
+    calls batch into one continuous decode program. Results append in
+    completion order (the rank-0 merge de-dups by id, order-agnostic);
+    the failure early-stop counts a consecutive-failure streak across
+    completion order."""
     items = shard_items(list(items), rank, world)
     done = load_answered_ids(out_path, id_key) if resume else set()
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    todo = [it for it in items if it[id_key] not in done]
 
     n_new, fails = 0, 0
     with open(out_path, "a") as f:
-        for item in items:
-            if item[id_key] in done:
-                continue
-            try:
-                result = infer_fn(item)
-                fails = 0
-            except Exception as e:
-                fails += 1
-                logger.warning("sample %s failed: %s (%d consecutive)",
-                               item.get(id_key), e, fails)
-                if fails >= max_consecutive_failures:
-                    logger.error("early stop after %d consecutive failures",
-                                 fails)
-                    break
-                continue
+
+        def _write(result):
             f.write(json.dumps(result, ensure_ascii=False) + "\n")
             f.flush()
-            n_new += 1
+
+        if workers <= 1:
+            for item in todo:
+                try:
+                    result = infer_fn(item)
+                    fails = 0
+                except Exception as e:
+                    fails += 1
+                    logger.warning("sample %s failed: %s (%d consecutive)",
+                                   item.get(id_key), e, fails)
+                    if fails >= max_consecutive_failures:
+                        logger.error(
+                            "early stop after %d consecutive failures",
+                            fails)
+                        break
+                    continue
+                _write(result)
+                n_new += 1
+            return n_new
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        stop = False
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            # submit in bounded waves so an early stop doesn't leave a
+            # long tail of queued work running
+            wave = 4 * workers
+            for lo in range(0, len(todo), wave):
+                if stop:
+                    break
+                chunk = todo[lo:lo + wave]
+                for item, fut in [(it, pool.submit(infer_fn, it))
+                                  for it in chunk]:
+                    try:
+                        result = fut.result()
+                        fails = 0
+                    except Exception as e:
+                        fails += 1
+                        logger.warning(
+                            "sample %s failed: %s (%d consecutive)",
+                            item.get(id_key), e, fails)
+                        if fails >= max_consecutive_failures:
+                            logger.error("early stop after %d consecutive "
+                                         "failures", fails)
+                            stop = True
+                            break
+                        continue
+                    _write(result)
+                    n_new += 1
     return n_new
 
 

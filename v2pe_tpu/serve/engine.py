@@ -840,3 +840,60 @@ class InferenceEngine:
             # budget exhausted without a stop token mid-block
             if self._row_req[row] is not None and not self._active[row]:
                 self._retire(row)
+
+
+class EngineChat:
+    """``ChatModel.chat``-compatible facade over a shared InferenceEngine.
+
+    Drop-in for any per-sample consumer of ``ChatModel`` (the eval drivers
+    call ``model.chat(...)`` once per benchmark item — SURVEY.md §2.8's
+    per-sample loop): each ``chat`` call submits to the engine and blocks
+    on the request's result, so N caller threads batch into one continuous
+    decode program (weight reads amortized across rows) instead of N
+    sequential generations. The reference has no batched-eval path at all
+    (one ``model.chat`` per sample per rank). Greedy-only — sampling is an
+    engine-wide setting and every reference eval decodes greedily; beam
+    requests must use the plain ChatModel. All non-``chat`` attributes
+    (``load_pixels``, ``cfg``, ``tokenizer``, ...) delegate to the wrapped
+    model.
+    """
+
+    def __init__(self, chat_model, *, max_rows: int = 8,
+                 max_len: int = 8192, **engine_kwargs):
+        self._m = chat_model
+        self.engine = InferenceEngine(chat_model, max_rows=max_rows,
+                                      max_len=max_len, **engine_kwargs)
+        self.engine.start()
+
+    def __getattr__(self, name):
+        return getattr(self._m, name)
+
+    def chat(self, pixel_values, question,
+             generation_config: Optional[GenerationConfig] = None,
+             history=None, return_history: bool = False,
+             num_patches_list=None, rope_pos_id_version: Optional[str] = None,
+             rope_pos_id_stride: Optional[int] = None, verbose: bool = False):
+        gc = generation_config or GenerationConfig()
+        if gc.do_sample or gc.num_beams > 1:
+            raise ValueError(
+                "EngineChat decodes greedily on the shared engine; use the "
+                "plain ChatModel for sampling/beam generation")
+        if num_patches_list is None:
+            num_patches_list = [pixel_values.shape[0]] \
+                if pixel_values is not None else []
+        if history is None and pixel_values is not None \
+                and "<image>" not in question:
+            question = "<image>\n" + question
+        ids, pos, _ = self._m.encode_chat(
+            question, num_patches_list, history,
+            rope_pos_id_version=rope_pos_id_version,
+            rope_pos_id_stride=rope_pos_id_stride)
+        req = self.engine.submit(ids, pos, pixel_values=pixel_values,
+                                 max_new_tokens=gc.max_new_tokens)
+        text = req.result()
+        if return_history:
+            return text, (list(history or []) + [(question, text)])
+        return text
+
+    def stop(self):
+        self.engine.stop()
