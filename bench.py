@@ -595,6 +595,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from v2pe_tpu.utils import compile_cache
+
+    compile_cache.enable()  # reuse of prior runs' multi-minute XLA compiles
     jax.devices()  # force backend init under the watchdog
     disarm()
 

@@ -143,6 +143,10 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = build_argparser().parse_args(argv)
     os.makedirs(args.outputs_dir, exist_ok=True)
+
+    from v2pe_tpu.utils import compile_cache
+
+    compile_cache.enable()
     vqa_auto_tiles = args.max_num < 0  # per-task table (evaluate_auto.sh)
     if args.max_num < 0:
         args.max_num = 12

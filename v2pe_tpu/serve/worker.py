@@ -48,6 +48,9 @@ class ModelWorker:
         # generations share one batched decode program instead of
         # serializing behind the semaphore (the reference's only mode)
     ):
+        from v2pe_tpu.utils import compile_cache
+
+        compile_cache.enable()  # first-request compiles reuse prior runs
         self.model = chat_model
         self.engine = engine
         if engine is not None:

@@ -140,6 +140,10 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = build_argparser().parse_args(argv)
 
+    from v2pe_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
     # multi-host bootstrap BEFORE any device use (jax.distributed requires
     # initialization before backends are touched)
     if args.platform:
