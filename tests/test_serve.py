@@ -3,6 +3,7 @@ JSON chunks on a tiny model."""
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -123,3 +124,96 @@ def test_worker_generate_stream(worker_server):
     assert len(chunks) >= 1
     assert all(c["error_code"] == 0 for c in chunks)
     assert isinstance(chunks[-1]["text"], str)
+
+
+def test_openai_models_route(worker_server):
+    url, _ = worker_server
+    with urllib.request.urlopen(url + "/v1/models") as r:
+        data = json.loads(r.read())
+    assert data["data"][0]["id"] == "tiny"
+
+
+def _post_json(url, body):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req)
+
+
+def test_openai_chat_completion(worker_server):
+    """Non-stream /v1/chat/completions: text+image messages produce the
+    same text as the native chat path; usage counts include tile tokens."""
+    url, worker = worker_server
+    from PIL import Image
+
+    img = Image.fromarray(np.random.RandomState(3).randint(
+        0, 255, (64, 64, 3), np.uint8))
+    data_url = "data:image/png;base64," + image_to_base64(img)
+
+    body = {
+        "model": "tiny",
+        "messages": [
+            {"role": "system", "content": "Be terse."},
+            {"role": "user", "content": [
+                {"type": "text", "text": "Describe the image."},
+                {"type": "image_url", "image_url": {"url": data_url}},
+            ]},
+        ],
+        "max_tokens": 6,
+        "temperature": 0.0,
+    }
+    with _post_json(url + "/v1/chat/completions", body) as r:
+        out = json.loads(r.read())
+    assert out["object"] == "chat.completion"
+    choice = out["choices"][0]
+    assert choice["message"]["role"] == "assistant"
+    assert isinstance(choice["message"]["content"], str)
+    assert choice["finish_reason"] in ("stop", "length")
+    u = out["usage"]
+    assert u["total_tokens"] == u["prompt_tokens"] + u["completion_tokens"]
+    # image tile tokens are counted (4 tiles x num_image_token >> text len)
+    assert u["prompt_tokens"] > worker.model.cfg.num_image_token
+
+    # multi-turn: assistant history accepted, last-user required
+    body2 = {"messages": [
+        {"role": "user", "content": "Hi"},
+        {"role": "assistant", "content": choice["message"]["content"]},
+        {"role": "user", "content": "Again?"}],
+        "max_tokens": 4}
+    with _post_json(url + "/v1/chat/completions", body2) as r:
+        out2 = json.loads(r.read())
+    assert out2["choices"][0]["message"]["content"] is not None
+
+    # malformed: ends with assistant -> 400 invalid_request_error
+    bad = {"messages": [{"role": "assistant", "content": "x"}]}
+    try:
+        _post_json(url + "/v1/chat/completions", bad)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert json.loads(e.read())["error"]["type"] == \
+            "invalid_request_error"
+
+
+def test_openai_chat_completion_stream(worker_server):
+    """stream=true: SSE chunks whose deltas concatenate to the non-stream
+    content, closed by a finish_reason chunk and data: [DONE]."""
+    url, _ = worker_server
+    body = {"messages": [{"role": "user", "content": "Tell me a story."}],
+            "max_tokens": 6, "stream": True}
+    with _post_json(url + "/v1/chat/completions", body) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        raw = r.read().decode()
+    lines = [ln[len("data: "):] for ln in raw.split("\n\n")
+             if ln.startswith("data: ")]
+    assert lines[-1] == "[DONE]"
+    chunks = [json.loads(x) for x in lines[:-1]]
+    assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+    assert chunks[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+    text = "".join(c["choices"][0]["delta"].get("content", "")
+                   for c in chunks)
+
+    body.pop("stream")
+    with _post_json(url + "/v1/chat/completions", body) as r:
+        ref = json.loads(r.read())["choices"][0]["message"]["content"]
+    assert text == ref

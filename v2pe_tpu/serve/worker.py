@@ -103,9 +103,11 @@ class ModelWorker:
                 "queue_length": self.get_queue_length()}
 
     # ----------------------------------------------------------- generation
-    def generate_stream(self, params: dict):
+    def generate_stream(self, params: dict, meta: Optional[dict] = None):
         """Yields dicts {text, error_code}; parity with
-        model_worker.generate_stream (:139-225)."""
+        model_worker.generate_stream (:139-225). ``meta``, when given, is
+        filled with {'prompt_tokens': N} (image tile tokens included) for
+        the OpenAI usage block."""
         prompt = params["prompt"]
         images_b64 = params.get("images") or []
         max_new_tokens = int(params.get("max_new_tokens", 256))
@@ -137,6 +139,8 @@ class ModelWorker:
 
         enc = self.model.tokenizer(query)
         ids = np.asarray(enc["input_ids"], np.int64)
+        if meta is not None:
+            meta["prompt_tokens"] = int(len(ids))
         # V2PE position ids (the reference's serve path omits these)
         if num_patches_list and \
                 self.model.cfg.rope_pos_id_version != "default":
@@ -156,8 +160,10 @@ class ModelWorker:
             temperature=temperature, top_p=top_p,
             eos_token_ids=tuple(self.model.conv_template.stop_token_ids))
 
+        if isinstance(stop_str, str):
+            stop_str = [stop_str]
         stopper = KeywordsStoppingCriteria(
-            [stop_str] if stop_str else [self.model.conv_template.sep])
+            list(stop_str) if stop_str else [self.model.conv_template.sep])
         text = ""
         if self.engine is not None:
             # continuous batching: this request decodes interleaved with
@@ -207,6 +213,144 @@ class ModelWorker:
                 return
             yield {"text": text, "error_code": 0}
 
+    # ------------------------------------------------- OpenAI-compat surface
+    def _openai_to_params(self, body: dict) -> dict:
+        """messages[] -> the worker's native generate params.
+
+        Supports string content and the parts form ({type: text} /
+        {type: image_url, image_url: {url: "data:image/...;base64,..."}}).
+        Each image contributes an '<image>' marker at the head of its
+        message's text; alternating user/assistant turns become template
+        history; an optional system message overrides the template's
+        system line. The reference has no API-compatible serving surface
+        (LLaVA wire protocol only)."""
+        messages = body.get("messages")
+        if not messages:
+            raise ValueError("messages required")
+        system = None
+        turns = []  # (role, text)
+        images = []
+
+        def _parts(content):
+            if isinstance(content, str):
+                return content, []
+            texts, imgs = [], []
+            for part in content:
+                if part.get("type") == "text":
+                    texts.append(part.get("text", ""))
+                elif part.get("type") == "image_url":
+                    url = (part.get("image_url") or {}).get("url", "")
+                    if "," in url and url.startswith("data:"):
+                        imgs.append(url.split(",", 1)[1])
+                    else:
+                        raise ValueError(
+                            "image_url must be a data: URL (no egress)")
+            return "\n".join(texts), imgs
+
+        for m in messages:
+            role = m.get("role")
+            text, imgs = _parts(m.get("content") or "")
+            if role == "system":
+                system = text
+                continue
+            if role == "user":
+                text = "<image>\n" * len(imgs) + text
+                images.extend(imgs)
+            turns.append((role, text))
+
+        if not turns or turns[-1][0] != "user":
+            raise ValueError("last message must be a user turn")
+        history, i = [], 0
+        while i + 1 < len(turns):
+            if turns[i][0] != "user" or turns[i + 1][0] != "assistant":
+                raise ValueError("history must alternate user/assistant")
+            history.append((turns[i][1], turns[i + 1][1]))
+            i += 2
+        question = turns[-1][1]
+
+        conv = self.model.conv_template.copy()
+        conv.system_message = system if system is not None \
+            else self.model.system_message
+        for old_q, old_a in history:
+            conv.append_message(conv.roles[0], old_q)
+            conv.append_message(conv.roles[1], old_a)
+        conv.append_message(conv.roles[0], question)
+        conv.append_message(conv.roles[1], None)
+
+        stop = body.get("stop")
+        return {
+            "prompt": conv.get_prompt(),  # '<image>' markers intact —
+            # generate_stream splices the tile token spans per image
+            "images": images,
+            "max_new_tokens": int(body.get("max_tokens")
+                                  or body.get("max_completion_tokens")
+                                  or 256),
+            "temperature": float(body.get("temperature") or 0.0),
+            "top_p": float(body.get("top_p") or 1.0),
+            "stop": stop,
+        }
+
+    def chat_completion(self, body: dict):
+        """Returns (final_record, stream_iterator). Exactly one is consumed:
+        stream=False -> drain internally and return the completion record;
+        stream=True -> yield OpenAI chat.completion.chunk dicts."""
+        params = self._openai_to_params(body)
+        created = int(time.time())
+        cid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+        model_name = body.get("model") or self.model_name
+
+        def chunks():
+            prev = ""
+            yield {"id": cid, "object": "chat.completion.chunk",
+                   "created": created, "model": model_name,
+                   "choices": [{"index": 0,
+                                "delta": {"role": "assistant",
+                                          "content": ""},
+                                "finish_reason": None}]}
+            final = ""
+            for out in self.generate_stream(params, meta={}):
+                if out.get("error_code"):
+                    raise RuntimeError(out.get("text", "generation error"))
+                text = out["text"]
+                delta, prev, final = text[len(prev):], text, text
+                if delta:
+                    yield {"id": cid, "object": "chat.completion.chunk",
+                           "created": created, "model": model_name,
+                           "choices": [{"index": 0,
+                                        "delta": {"content": delta},
+                                        "finish_reason": None}]}
+            n_out = len(self.model.tokenizer(final)["input_ids"])
+            reason = "length" if n_out >= params["max_new_tokens"] \
+                else "stop"
+            yield {"id": cid, "object": "chat.completion.chunk",
+                   "created": created, "model": model_name,
+                   "choices": [{"index": 0, "delta": {},
+                                "finish_reason": reason}]}
+
+        if body.get("stream"):
+            return None, chunks()
+
+        final, reason, meta = "", "stop", {}
+        for out in self.generate_stream(params, meta=meta):
+            if out.get("error_code"):
+                raise RuntimeError(out.get("text", "generation error"))
+            final = out["text"]
+        n_prompt = meta.get(
+            "prompt_tokens",
+            len(self.model.tokenizer(params["prompt"])["input_ids"]))
+        n_out = len(self.model.tokenizer(final)["input_ids"])
+        if n_out >= params["max_new_tokens"]:
+            reason = "length"
+        return {"id": cid, "object": "chat.completion", "created": created,
+                "model": model_name,
+                "choices": [{"index": 0,
+                             "message": {"role": "assistant",
+                                         "content": final},
+                             "finish_reason": reason}],
+                "usage": {"prompt_tokens": n_prompt,
+                          "completion_tokens": n_out,
+                          "total_tokens": n_prompt + n_out}}, None
+
     # ---------------------------------------------------------- http server
     def make_server(self, host: str = "0.0.0.0", port: int = 40000):
         worker = self
@@ -219,8 +363,79 @@ class ModelWorker:
                 length = int(self.headers.get("Content-Length", 0))
                 return json.loads(self.rfile.read(length) or b"{}")
 
+            def do_GET(self):
+                if self.path == "/v1/models":
+                    body = json.dumps({
+                        "object": "list",
+                        "data": [{"id": worker.model_name,
+                                  "object": "model",
+                                  "owned_by": "v2pe-tpu"}]}).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+
             def do_POST(self):
-                if self.path == "/worker_generate_stream":
+                if self.path == "/v1/chat/completions":
+                    try:
+                        body = self._json_body()
+                    except Exception:
+                        body = None
+                    if body is None:
+                        self.send_response(400)
+                        self.end_headers()
+                        return
+                    try:
+                        with worker.semaphore:
+                            record, stream = worker.chat_completion(body)
+                            if stream is None:
+                                payload = json.dumps(record).encode()
+                                self.send_response(200)
+                                self.send_header("Content-Type",
+                                                 "application/json")
+                                self.send_header("Content-Length",
+                                                 str(len(payload)))
+                                self.end_headers()
+                                self.wfile.write(payload)
+                            else:
+                                self.send_response(200)
+                                self.send_header("Content-Type",
+                                                 "text/event-stream")
+                                self.send_header("Cache-Control", "no-cache")
+                                self.end_headers()
+                                for chunk in stream:
+                                    self.wfile.write(
+                                        b"data: "
+                                        + json.dumps(chunk).encode()
+                                        + b"\n\n")
+                                self.wfile.write(b"data: [DONE]\n\n")
+                    except ValueError as e:
+                        payload = json.dumps(
+                            {"error": {"message": str(e),
+                                       "type": "invalid_request_error"}}
+                        ).encode()
+                        self.send_response(400)
+                        self.send_header("Content-Type", "application/json")
+                        self.send_header("Content-Length",
+                                         str(len(payload)))
+                        self.end_headers()
+                        self.wfile.write(payload)
+                    except Exception as e:
+                        logger.exception("chat completion failed")
+                        payload = json.dumps(
+                            {"error": {"message": str(e),
+                                       "type": "server_error"}}).encode()
+                        self.send_response(500)
+                        self.send_header("Content-Type", "application/json")
+                        self.send_header("Content-Length",
+                                         str(len(payload)))
+                        self.end_headers()
+                        self.wfile.write(payload)
+                elif self.path == "/worker_generate_stream":
                     params = self._json_body()
                     self.send_response(200)
                     self.send_header("Content-Type",
