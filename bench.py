@@ -572,15 +572,21 @@ def _arm_init_watchdog():
     def _die():
         # a watchdog THREAD, not SIGALRM: the hang sits inside a blocking
         # C call (grpc connect), so a signal handler would never run
+        metric = f"prefill_tokens_per_sec_{SEQ_LEN // 1024}k_{TILES}tiles"
+        extras = {"watchdog_error":
+                  f"jax backend init exceeded {deadline}s "
+                  "(device tunnel down?)"}
+        prev = _prev_value(metric)
+        if prev:
+            # transparency, not a substitute: the last driver-recorded
+            # measurement, clearly labeled as stale
+            extras["last_recorded_value_stale"] = prev
         print(json.dumps({
-            "metric": f"prefill_tokens_per_sec_{SEQ_LEN // 1024}k_"
-                      f"{TILES}tiles",
+            "metric": metric,
             "value": 0.0,
             "unit": "tok/s/chip",
             "vs_baseline": 0.0,
-            "extras": {"watchdog_error":
-                       f"jax backend init exceeded {deadline}s "
-                       "(device tunnel down?)"},
+            "extras": extras,
         }), flush=True)
         os._exit(1)
 
