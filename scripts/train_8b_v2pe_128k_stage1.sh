@@ -17,6 +17,7 @@ SEQ_SHARDS=${SEQ_SHARDS:-4}     # reference chunk_num 4
 SEQ_LEN=${SEQ_LEN:-131072}
 SAVE_STEPS=${SAVE_STEPS:-2500}
 FSDP=$((CHIPS / SEQ_SHARDS))
+mkdir -p "$OUTPUT_DIR"
 
 python -m v2pe_tpu.train.cli \
   --model_name_or_path "$MODEL_PATH" \

@@ -348,3 +348,24 @@ def test_engine_chat_facade_matches_chat(chat_model):
             assert recs[it["id"]] == chat_model.chat(None, it["q"], gc)
     finally:
         ec.stop()
+
+
+def test_engine_scheduler_failure_fails_pending(chat_model):
+    """If the scheduler loop dies, blocked result() callers get a
+    RuntimeError instead of hanging forever (run_shard's failure
+    accounting depends on this)."""
+    eng = _engine(chat_model)
+
+    def boom():
+        raise RuntimeError("injected scheduler failure")
+
+    eng.step = boom
+    req = eng.submit_chat(None, "hello", max_new_tokens=4)  # queued first
+    eng.start()
+    with pytest.raises(RuntimeError, match="failed"):
+        req.result(timeout=30)
+    assert req.finished.is_set()
+    # post-mortem submits fail fast instead of queueing into the void
+    with pytest.raises(RuntimeError, match="failed"):
+        eng.submit_chat(None, "again", max_new_tokens=4)
+    eng.stop()

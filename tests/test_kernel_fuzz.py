@@ -65,9 +65,8 @@ def _ref(q, k, v, seg, causal):
         mask &= (idx[None, None, :, None] >= idx[None, None, None, :])
     s = jnp.where(mask, s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", p, vf)
-    live = jnp.any(mask, axis=-1)  # (B,Hq,Sq)
-    return jnp.where(jnp.transpose(live, (0, 2, 1))[..., None], out, out)
+    # dead (all-masked) rows are undefined-output; callers re-mask by seg
+    return jnp.einsum("bhqk,bkhd->bqhd", p, vf)
 
 
 @pytest.mark.parametrize("seed", range(N_CASES))

@@ -35,6 +35,16 @@ def save_checkpoint(ckpt_dir: str, step: int, params, opt_state,
     and pruning are process-0 only."""
     ocp = _ocp()
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
+    if os.path.isdir(path) and \
+            not os.path.exists(os.path.join(path, "meta.json")):
+        # uncommitted leftover (crash before the meta.json marker) —
+        # orbax refuses to overwrite an existing destination
+        if jax.process_index() == 0:
+            shutil.rmtree(path, ignore_errors=True)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"v2pe_ckpt_clean_{step}")
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(os.path.join(path, "params"), params)
     with ocp.PyTreeCheckpointer() as ckptr:
@@ -106,6 +116,18 @@ class AsyncSaver:
              cfg=None) -> str:
         self.finalize()
         path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
+        if os.path.isdir(path) and \
+                not os.path.exists(os.path.join(path, "meta.json")):
+            # stale uncommitted dir from a crash between save and
+            # finalize — orbax refuses to overwrite; resume skipped it
+            # (no commit marker), so it is safe to clear
+            if jax.process_index() == 0:
+                shutil.rmtree(path, ignore_errors=True)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices(
+                    f"v2pe_ckpt_clean_{step}")
         cp, co = self._checkpointers()
         cp.save(os.path.join(path, "params"), params)
         co.save(os.path.join(path, "opt_state"), opt_state)

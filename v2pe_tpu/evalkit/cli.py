@@ -132,10 +132,14 @@ def load_chat_model(args):
         if getattr(args, "num_beams", 1) > 1:
             raise SystemExit("--engine-rows batches greedy decodes; "
                              "it cannot combine with --num-beams > 1")
+        import atexit
+
         from v2pe_tpu.serve.engine import EngineChat
 
         model = EngineChat(model, max_rows=rows,
                            max_len=getattr(args, "engine_max_len", 8192))
+        atexit.register(model.stop)  # main()'s routes return from many
+        # places; the scheduler daemon must not outlive the run
     return model
 
 

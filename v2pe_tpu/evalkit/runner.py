@@ -87,19 +87,31 @@ def run_shard(
                 n_new += 1
             return n_new
 
-        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import (FIRST_COMPLETED, ThreadPoolExecutor,
+                                        wait as futures_wait)
 
+        # bounded in-flight set, refilled as futures complete — a wave
+        # barrier here would drain the engine's batch to a shrinking tail
+        # at every boundary, wasting exactly the throughput workers buy
         stop = False
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            # submit in bounded waves so an early stop doesn't leave a
-            # long tail of queued work running
-            wave = 4 * workers
-            for lo in range(0, len(todo), wave):
-                if stop:
-                    break
-                chunk = todo[lo:lo + wave]
-                for item, fut in [(it, pool.submit(infer_fn, it))
-                                  for it in chunk]:
+            pending = iter(todo)
+            inflight = {}
+
+            def refill():
+                while len(inflight) < workers:
+                    try:
+                        item = next(pending)
+                    except StopIteration:
+                        return
+                    inflight[pool.submit(infer_fn, item)] = item
+
+            refill()
+            while inflight and not stop:
+                done, _ = futures_wait(list(inflight),
+                                       return_when=FIRST_COMPLETED)
+                for fut in done:
+                    item = inflight.pop(fut)
                     try:
                         result = fut.result()
                         fails = 0
@@ -116,6 +128,8 @@ def run_shard(
                         continue
                     _write(result)
                     n_new += 1
+                if not stop:
+                    refill()
     return n_new
 
 

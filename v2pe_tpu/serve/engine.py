@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
+import logging
 import queue
 import threading
 from collections import deque
@@ -53,6 +54,8 @@ import jax.numpy as jnp
 from v2pe_tpu.infer import paged_kv as pk
 from v2pe_tpu.infer.generate import GenerationConfig, _sample
 from v2pe_tpu.models import internlm2, internvl_chat
+
+logger = logging.getLogger(__name__)
 
 
 # ---------------------------------------------------------------------------
@@ -222,9 +225,13 @@ class EngineRequest:
     finished: "threading.Event" = dataclasses.field(
         default_factory=threading.Event)
     _text: Optional[str] = None
+    error: Optional[BaseException] = None  # scheduler failure (fail_all)
 
     def result(self, timeout: Optional[float] = None) -> str:
         self.finished.wait(timeout)
+        if self.error is not None:
+            raise RuntimeError(
+                f"engine request {self.request_id} failed") from self.error
         return self._text
 
 
@@ -538,6 +545,7 @@ class InferenceEngine:
         self._wake = threading.Condition(self._lock)
         self._thread: Optional[threading.Thread] = None
         self._stopping = False
+        self._failed: Optional[BaseException] = None
 
     # ------------------------------------------------------------ submission
     def submit(self, ids: np.ndarray, pos: np.ndarray,
@@ -559,18 +567,30 @@ class InferenceEngine:
                             pixel_values=pixel_values,
                             request_id=next(self._ids))
         with self._wake:
+            if self._failed is not None:
+                raise RuntimeError("engine scheduler has failed") \
+                    from self._failed
             self._queue.append(req)
             self._wake.notify()
         return req
 
     def submit_chat(self, pixel_values: Optional[np.ndarray], question: str,
-                    max_new_tokens: int = 256, history=None) -> EngineRequest:
+                    max_new_tokens: int = 256, history=None,
+                    num_patches_list=None,
+                    rope_pos_id_version: Optional[str] = None,
+                    rope_pos_id_stride: Optional[int] = None
+                    ) -> EngineRequest:
         """Prompt-building convenience mirroring ``ChatModel.chat``."""
+        if num_patches_list is None:
+            num_patches_list = [pixel_values.shape[0]] \
+                if pixel_values is not None else []
         if history is None and pixel_values is not None \
                 and "<image>" not in question:
             question = "<image>\n" + question
-        npl = [pixel_values.shape[0]] if pixel_values is not None else []
-        ids, pos, _ = self.m.encode_chat(question, npl, history)
+        ids, pos, _ = self.m.encode_chat(
+            question, num_patches_list, history,
+            rope_pos_id_version=rope_pos_id_version,
+            rope_pos_id_stride=rope_pos_id_stride)
         return self.submit(ids, pos, pixel_values=pixel_values,
                            max_new_tokens=max_new_tokens)
 
@@ -624,7 +644,16 @@ class InferenceEngine:
 
         def loop():
             while not self._stopping:
-                if not self.step():
+                try:
+                    progressed = self.step()
+                except Exception as e:  # a dead scheduler must not strand
+                    # blocked result() callers (EngineChat, the worker) —
+                    # fail everything in flight and queued, then exit
+                    logger.exception("engine scheduler failed; "
+                                     "failing all pending requests")
+                    self._fail_all(e)
+                    return
+                if not progressed:
                     with self._wake:
                         if not self._queue and not self._active.any() \
                                 and not self._stopping:
@@ -632,6 +661,18 @@ class InferenceEngine:
 
         self._thread = threading.Thread(target=loop, daemon=True)
         self._thread.start()
+
+    def _fail_all(self, exc: BaseException) -> None:
+        with self._lock:
+            self._failed = exc
+            pending = [r for r in self._row_req if r is not None]
+            self._row_req = [None] * self.max_rows
+            queued = list(self._queue)
+            self._queue.clear()
+        for req in pending + queued:
+            req.error = exc
+            req.token_queue.put(None)
+            req.finished.set()
 
     def stop(self) -> None:
         self._stopping = True
@@ -878,18 +919,14 @@ class EngineChat:
             raise ValueError(
                 "EngineChat decodes greedily on the shared engine; use the "
                 "plain ChatModel for sampling/beam generation")
-        if num_patches_list is None:
-            num_patches_list = [pixel_values.shape[0]] \
-                if pixel_values is not None else []
         if history is None and pixel_values is not None \
                 and "<image>" not in question:
-            question = "<image>\n" + question
-        ids, pos, _ = self._m.encode_chat(
-            question, num_patches_list, history,
+            question = "<image>\n" + question  # history keeps the marker
+        req = self.engine.submit_chat(
+            pixel_values, question, max_new_tokens=gc.max_new_tokens,
+            history=history, num_patches_list=num_patches_list,
             rope_pos_id_version=rope_pos_id_version,
             rope_pos_id_stride=rope_pos_id_stride)
-        req = self.engine.submit(ids, pos, pixel_values=pixel_values,
-                                 max_new_tokens=gc.max_new_tokens)
         text = req.result()
         if return_history:
             return text, (list(history or []) + [(question, text)])

@@ -179,12 +179,18 @@ class ModelWorker:
             while True:
                 tok = req.token_queue.get()
                 if tok is None:
+                    if meta is not None:
+                        meta["completion_tokens"] = len(keep)
+                    if req.error is not None:
+                        raise RuntimeError("engine failed") from req.error
                     return
                 if int(tok) in stop_ids:
                     continue
                 keep.append(int(tok))
                 text = self.model.tokenizer.decode(
                     keep, skip_special_tokens=True)
+                if meta is not None:
+                    meta["completion_tokens"] = len(keep)
                 if stopper.should_stop(text):
                     yield {"text": stopper.trim(text), "error_code": 0}
                     return
@@ -208,6 +214,8 @@ class ModelWorker:
             keep += [int(t) for t in chunk if int(t) not in stop_ids]
             text = self.model.tokenizer.decode(
                 keep, skip_special_tokens=True)
+            if meta is not None:
+                meta["completion_tokens"] = len(keep)
             if stopper.should_stop(text):
                 yield {"text": stopper.trim(text), "error_code": 0}
                 return
@@ -299,27 +307,51 @@ class ModelWorker:
         cid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
         model_name = body.get("model") or self.model_name
 
+        stop = params.get("stop")
+        keywords = ([stop] if isinstance(stop, str) else list(stop)) \
+            if stop else [self.model.conv_template.sep]
+
+        def _safe_len(text: str) -> int:
+            # hold back any suffix that is a proper prefix of a stop
+            # keyword — once streamed, a delta cannot be retracted when
+            # the stopper later trims the matched keyword
+            held = 0
+            for kw in keywords:
+                for n in range(min(len(kw) - 1, len(text)), 0, -1):
+                    if text.endswith(kw[:n]):
+                        held = max(held, n)
+                        break
+            return len(text) - held
+
         def chunks():
-            prev = ""
+            sent = 0
             yield {"id": cid, "object": "chat.completion.chunk",
                    "created": created, "model": model_name,
                    "choices": [{"index": 0,
                                 "delta": {"role": "assistant",
                                           "content": ""},
                                 "finish_reason": None}]}
-            final = ""
-            for out in self.generate_stream(params, meta={}):
+            final, meta = "", {}
+            for out in self.generate_stream(params, meta=meta):
                 if out.get("error_code"):
                     raise RuntimeError(out.get("text", "generation error"))
-                text = out["text"]
-                delta, prev, final = text[len(prev):], text, text
-                if delta:
+                final = out["text"]
+                safe = _safe_len(final)
+                if safe > sent:
                     yield {"id": cid, "object": "chat.completion.chunk",
                            "created": created, "model": model_name,
                            "choices": [{"index": 0,
-                                        "delta": {"content": delta},
+                                        "delta":
+                                            {"content": final[sent:safe]},
                                         "finish_reason": None}]}
-            n_out = len(self.model.tokenizer(final)["input_ids"])
+                    sent = safe
+            if len(final) > sent:  # flush the held-back tail (post-trim)
+                yield {"id": cid, "object": "chat.completion.chunk",
+                       "created": created, "model": model_name,
+                       "choices": [{"index": 0,
+                                    "delta": {"content": final[sent:]},
+                                    "finish_reason": None}]}
+            n_out = meta.get("completion_tokens", 0)
             reason = "length" if n_out >= params["max_new_tokens"] \
                 else "stop"
             yield {"id": cid, "object": "chat.completion.chunk",
@@ -338,7 +370,7 @@ class ModelWorker:
         n_prompt = meta.get(
             "prompt_tokens",
             len(self.model.tokenizer(params["prompt"])["input_ids"]))
-        n_out = len(self.model.tokenizer(final)["input_ids"])
+        n_out = meta.get("completion_tokens", 0)
         if n_out >= params["max_new_tokens"]:
             reason = "length"
         return {"id": cid, "object": "chat.completion", "created": created,
@@ -407,11 +439,23 @@ class ModelWorker:
                                                  "text/event-stream")
                                 self.send_header("Cache-Control", "no-cache")
                                 self.end_headers()
-                                for chunk in stream:
+                                try:
+                                    for chunk in stream:
+                                        self.wfile.write(
+                                            b"data: "
+                                            + json.dumps(chunk).encode()
+                                            + b"\n\n")
+                                except Exception as e:
+                                    # headers are gone — the error must
+                                    # ride the stream, not a status line
+                                    logger.exception(
+                                        "mid-stream generation failed")
                                     self.wfile.write(
-                                        b"data: "
-                                        + json.dumps(chunk).encode()
-                                        + b"\n\n")
+                                        b"data: " + json.dumps(
+                                            {"error": {
+                                                "message": str(e),
+                                                "type": "server_error"}}
+                                        ).encode() + b"\n\n")
                                 self.wfile.write(b"data: [DONE]\n\n")
                     except ValueError as e:
                         payload = json.dumps(
