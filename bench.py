@@ -10,8 +10,14 @@ at 8k and 32k, TTFT seconds at 32k, and steady-state decode tok/s at 8k
 (dense cache) and 32k (paged cache through the Pallas paged-attention
 kernel, ops/paged_attention.py).
 
-Prints exactly one JSON line:
+Prints the JSON line
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extras": {...}}
+incrementally: once as soon as the headline is measured, then again after
+every extra datapoint (the driver keeps the LAST parseable line, so a
+timeout can no longer erase the run — round 3's rc=124 lost everything).
+A wall-clock budget (env V2PE_BENCH_DEADLINE_S, default 2100) skips
+not-yet-started expensive datapoints, recording them under
+extras.skipped_over_budget instead of dying mid-flight.
 """
 
 import functools
@@ -370,8 +376,11 @@ def _spec_e2e_bench(jax, jnp, cfg, params, ctx_len: int, max_new: int = 64,
         cache = pk.allocate_rows(cache, jnp.full((B,), ctx_len, jnp.int32))
         return cache._replace(lengths=jnp.full((B,), ctx_len, jnp.int32))
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def run(cache):
+    # params is a jit ARGUMENT, not a closure: closing over it captured
+    # 3.78 GB of weights as lowering constants (BENCH_r03 tail warning)
+    # and bloated compile time right where the round-3 budget died
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def run(params, cache):
         ctx = jnp.tile(jnp.arange(16, dtype=jnp.int32),
                        (max_len + 8) // 16 + 1)[:max_len + 8][None]
         last_logits = jnp.zeros((B, lcfg.vocab_size), jnp.float32) \
@@ -383,10 +392,10 @@ def _spec_e2e_bench(jax, jnp, cfg, params, ctx_len: int, max_new: int = 64,
         return cache, steps, lens
 
     cache = prefill()
-    cache, steps, lens = run(cache)             # compile
+    cache, steps, lens = run(params, cache)     # compile
     int(steps)
     t0 = time.perf_counter()
-    cache, steps, lens = run(cache)
+    cache, steps, lens = run(params, cache)
     n = int(jnp.sum(lens))
     dt = time.perf_counter() - t0 - RTT
     return n / dt, n / max(int(steps), 1)
@@ -596,7 +605,79 @@ def _arm_init_watchdog():
     return timer.cancel
 
 
+class _Emitter:
+    """Indestructible bench record: the driver keeps the LAST parseable
+    JSON line, so the headline is printed the moment it exists and the
+    full line is RE-printed after every extra datapoint completes. A
+    driver timeout (round 3 lost everything to one, rc=124) now costs at
+    most the single in-flight datapoint. A SIGTERM handler re-emits as a
+    final safety net (`timeout` sends SIGTERM before SIGKILL)."""
+
+    def __init__(self, metric: str):
+        self.metric = metric
+        self.value = 0.0
+        self.vs = 0.0
+        self.extras = {}
+        self._t0 = time.monotonic()
+        deadline = float(os.environ.get("V2PE_BENCH_DEADLINE_S", "2100"))
+        self._deadline = self._t0 + deadline if deadline > 0 else None
+        import signal
+
+        signal.signal(signal.SIGTERM, self._on_term)
+
+    def _on_term(self, signum, frame):
+        self.extras["sigterm_at_s"] = round(time.monotonic() - self._t0, 1)
+        self.emit()
+        os._exit(1)
+
+    def set_headline(self, value: float):
+        self.value = round(value, 1)
+        prev = _prev_value(self.metric)
+        self.vs = round(value / prev, 3) if prev else 1.0
+        self.emit()
+
+    def has_budget(self, est_s: float, name: str) -> bool:
+        """True if `est_s` more seconds fit the wall-clock budget; else
+        records the skip (visible in the artifact) and returns False."""
+        if self._deadline is None or \
+                time.monotonic() + est_s <= self._deadline:
+            return True
+        self.extras.setdefault("skipped_over_budget", []).append(name)
+        return False
+
+    def run(self, name: str, est_s: float, fn):
+        """Run one datapoint: budget-check, catch, record, re-emit."""
+        if not self.has_budget(est_s, name):
+            self.emit()
+            return
+        try:
+            fn()
+        except Exception as e:
+            self.extras[name + "_error"] = repr(e)[:200]
+            # drop the traceback->frame->locals chain NOW: it can pin
+            # multi-GB device buffers (an OOM'd 256k page pool) in a gc
+            # cycle and cascade RESOURCE_EXHAUSTED into every later
+            # datapoint (observed in the first round-4 run)
+            e.__traceback__ = None
+            import gc
+
+            gc.collect()
+        self.emit()
+
+    def emit(self):
+        self.extras["bench_elapsed_s"] = round(time.monotonic() - self._t0,
+                                               1)
+        print(json.dumps({
+            "metric": self.metric,
+            "value": self.value,
+            "unit": "tok/s/chip",
+            "vs_baseline": self.vs,
+            "extras": self.extras,
+        }), flush=True)
+
+
 def main():
+    em = _Emitter(f"prefill_tokens_per_sec_{SEQ_LEN // 1024}k_{TILES}tiles")
     disarm = _arm_init_watchdog()
     import jax
     import jax.numpy as jnp
@@ -622,126 +703,140 @@ def main():
         return b
 
     batch8k = mkbatch(SEQ_LEN, TILES)
-    tok_per_s = _headline_prefill(jax, jnp, cfg, params, batch8k,
-                                  internvl_chat, IMG_CONTEXT_ID)
+    em.set_headline(_headline_prefill(jax, jnp, cfg, params, batch8k,
+                                      internvl_chat, IMG_CONTEXT_ID))
+    ex = em.extras
 
-    extras = {}
-    try:
+    # Datapoints run cheapest-and-never-yet-recorded first (round 3's
+    # artifact was empty; kernel TFLOPs / decode set / engine have
+    # priority over the giant-compile prefills). est_s are COLD-compile
+    # estimates; with a warm persistent cache most cost a few seconds.
+    def kernels():
+        ex.update(_kernel_tflops(jax, jnp, cfg))
+
+    em.run("kernel_tflops", 120, kernels)
+
+    def ttft_short():
         tp8, _ = _ttft_prefill(jax, jnp, cfg, params, batch8k,
                                internvl_chat, internlm2)
-        extras["prefill_ttftpath_tok_s_8k_8tiles"] = round(tp8, 1)
-        batch32k = mkbatch(32768, 32)
-        tp32, ttft32 = _ttft_prefill(jax, jnp, cfg, params, batch32k,
+        ex["prefill_ttftpath_tok_s_8k_8tiles"] = round(tp8, 1)
+        em.emit()
+        b32 = mkbatch(32768, 32)
+        tp32, ttft32 = _ttft_prefill(jax, jnp, cfg, params, b32,
                                      internvl_chat, internlm2)
-        extras["prefill_ttftpath_tok_s_32k_32tiles"] = round(tp32, 1)
-        extras["ttft_s_32k_32tiles"] = round(ttft32, 3)
-        del batch32k
-    except Exception as e:  # never lose the headline to an extra
-        extras["prefill_32k_error"] = repr(e)[:200]
-    if not os.environ.get("V2PE_BENCH_SKIP_128K"):
-        try:
-            b128 = mkbatch(131072, 64)
-            tp128, ttft128 = _ttft_prefill(jax, jnp, cfg, params, b128,
-                                           internvl_chat, internlm2)
-            extras["prefill_ttftpath_tok_s_128k_64tiles"] = round(tp128, 1)
-            extras["ttft_s_128k_64tiles"] = round(ttft128, 3)
-            del b128
-        except Exception as e:
-            extras["prefill_128k_error"] = repr(e)[:200]
-    if not os.environ.get("V2PE_BENCH_SKIP_256K"):
-        try:
-            b256 = mkbatch(262144, 64)
-            tp256, ttft256 = _ttft_prefill_slabbed(
-                jax, jnp, cfg, params, b256, internvl_chat, internlm2)
-            extras["prefill_ttftpath_tok_s_256k_64tiles"] = round(tp256, 1)
-            extras["ttft_s_256k_64tiles"] = round(ttft256, 3)
-            del b256
-        except Exception as e:
-            extras["prefill_256k_error"] = repr(e)[:200]
-    try:
-        extras["decode_tok_s_8k_dense"] = round(
-            _decode_bench(jax, jnp, cfg, params, 8192, paged=False), 1)
-        extras["decode_tok_s_32k_paged"] = round(
-            _decode_bench(jax, jnp, cfg, params, 32768, paged=True), 1)
-        # 64k = the largest bf16 page pool + weights that fit one chip's
-        # HBM (96 KB/token x 64k = 6.3 GB pool); 128k decodes via the int8
-        # pool (48 KB/token + 3% scales — the quantized-KV serving regime)
-        extras["decode_tok_s_64k_paged"] = round(
-            _decode_bench(jax, jnp, cfg, params, 65536, paged=True), 1)
-        extras["decode_tok_s_128k_paged_int8"] = round(
-            _decode_bench(jax, jnp, cfg, params, 131072, paged=True,
-                          kv_dtype="int8"), 1)
-        # continuous batching's inner loop: 8 rows share each weight read
-        extras["decode_tok_s_8k_paged_b8"] = round(
-            _decode_bench(jax, jnp, cfg, params, 8192, paged=True,
-                          batch=8), 1)
-    except Exception as e:
-        extras["decode_error"] = repr(e)[:200]
-    try:
-        # int8 weight-only serving (ops/quantized_matmul.py): decode is
-        # weight-bandwidth-bound, so halving the weight bytes raises the
-        # ceiling ~2x; w8 + int8 KV is the min-HBM long-context config
-        from v2pe_tpu.ops.quantized_matmul import quantize_llm_params
+        ex["prefill_ttftpath_tok_s_32k_32tiles"] = round(tp32, 1)
+        ex["ttft_s_32k_32tiles"] = round(ttft32, 3)
 
-        qparams = dict(params)
-        qparams["llm"] = jax.jit(quantize_llm_params)(params["llm"])
-        extras["decode_tok_s_8k_dense_w8"] = round(
-            _decode_bench(jax, jnp, cfg, qparams, 8192, paged=False), 1)
-        extras["decode_tok_s_32k_paged_w8kv8"] = round(
-            _decode_bench(jax, jnp, cfg, qparams, 32768, paged=True,
-                          kv_dtype="int8"), 1)
-        extras["decode_tok_s_128k_paged_w8kv8"] = round(
-            _decode_bench(jax, jnp, cfg, qparams, 131072, paged=True,
-                          kv_dtype="int8"), 1)
-        del qparams
-    except Exception as e:
-        extras["decode_w8_error"] = repr(e)[:200]
-    try:
-        # speculative decoding physics: an 8-token verify forward vs the
-        # 1-token step (both bandwidth-bound => ratio ~1 => accepted
-        # drafts are nearly free); plus an e2e run with measured accept
-        extras["spec_verify8_ms_32k_paged"] = round(
-            _spec_verify_bench(jax, jnp, cfg, params, 32768, T=8), 2)
-        tok_s, accept = _spec_e2e_bench(jax, jnp, cfg, params, 32768)
-        extras["spec_decode_tok_s_32k_paged"] = round(tok_s, 1)
-        extras["spec_accept_per_forward_32k"] = round(accept, 2)
-    except Exception as e:
-        extras["spec_error"] = repr(e)[:200]
-    try:
+    em.run("prefill_32k", 180, ttft_short)
+
+    def dp(key, est_s, fn):
+        """One individually-guarded decode-style datapoint: a failure (a
+        transient tunnel remote-compile 500, an OOM) must not take the
+        rest of the set with it."""
+        em.run(key, est_s, lambda: ex.__setitem__(key, round(fn(), 1)))
+
+    dp("decode_tok_s_8k_dense", 90,
+       lambda: _decode_bench(jax, jnp, cfg, params, 8192, paged=False))
+    dp("decode_tok_s_32k_paged", 90,
+       lambda: _decode_bench(jax, jnp, cfg, params, 32768, paged=True))
+    # 64k = the largest bf16 page pool + weights that fit one chip's
+    # HBM (96 KB/token x 64k = 6.3 GB pool); 128k decodes via the int8
+    # pool (48 KB/token + 3% scales — the quantized-KV serving regime)
+    dp("decode_tok_s_64k_paged", 90,
+       lambda: _decode_bench(jax, jnp, cfg, params, 65536, paged=True))
+    dp("decode_tok_s_128k_paged_int8", 120,
+       lambda: _decode_bench(jax, jnp, cfg, params, 131072, paged=True,
+                             kv_dtype="int8"))
+    # continuous batching's inner loop: 8 rows share each weight read
+    dp("decode_tok_s_8k_paged_b8", 90,
+       lambda: _decode_bench(jax, jnp, cfg, params, 8192, paged=True,
+                             batch=8))
+
+    # int8 weight-only serving (ops/quantized_matmul.py): decode is
+    # weight-bandwidth-bound, so halving the weight bytes raises the
+    # ceiling ~2x; w8 + int8 KV is the min-HBM long-context config
+    from v2pe_tpu.ops.quantized_matmul import quantize_llm_params
+
+    qparams = dict(params)
+    qparams["llm"] = jax.jit(quantize_llm_params)(params["llm"])
+    dp("decode_tok_s_8k_dense_w8", 90,
+       lambda: _decode_bench(jax, jnp, cfg, qparams, 8192, paged=False))
+    dp("decode_tok_s_32k_paged_w8kv8", 90,
+       lambda: _decode_bench(jax, jnp, cfg, qparams, 32768, paged=True,
+                             kv_dtype="int8"))
+    dp("decode_tok_s_128k_paged_w8kv8", 120,
+       lambda: _decode_bench(jax, jnp, cfg, qparams, 131072, paged=True,
+                             kv_dtype="int8"))
+
+    def engine():
         # continuous-batching serving throughput (serve/engine.py): 8
         # concurrent 8k prompts prefilled+decoded through the shared pool
         etot, ewall, egen = _engine_bench(jax, jnp, cfg, params)
-        extras["engine_tok_s_8x8k_256new"] = round(etot, 1)
-        extras["engine_wall_s_8x8k_256new"] = round(ewall, 2)
-        extras["engine_generated_8x8k"] = int(egen)
-    except Exception as e:
-        extras["engine_error"] = repr(e)[:200]
-    try:
-        extras.update(_kernel_tflops(jax, jnp, cfg))
-    except Exception as e:
-        extras["kernel_tflops_error"] = repr(e)[:200]
-    try:
-        extras["turn_prefill_ms_2k_over_32k"] = round(
-            _turn_prefill_bench(jax, jnp, cfg, params) * 1000, 1)
-    except Exception as e:
-        extras["turn_prefill_error"] = repr(e)[:200]
-    try:
-        # LAST: the train step donates (consumes) the params buffers
-        extras["train_tok_s_8k_8tiles"] = round(
-            _train_bench(jax, jnp, cfg, params), 1)
-    except Exception as e:
-        extras["train_error"] = repr(e)[:200]
+        ex["engine_tok_s_8x8k_256new"] = round(etot, 1)
+        ex["engine_wall_s_8x8k_256new"] = round(ewall, 2)
+        ex["engine_generated_8x8k"] = int(egen)
 
-    metric = f"prefill_tokens_per_sec_{SEQ_LEN // 1024}k_{TILES}tiles"
-    prev = _prev_value(metric)
-    vs = tok_per_s / prev if prev else 1.0
-    print(json.dumps({
-        "metric": metric,
-        "value": round(tok_per_s, 1),
-        "unit": "tok/s/chip",
-        "vs_baseline": round(vs, 3),
-        "extras": extras,
-    }))
+    em.run("engine", 240, engine)
+
+    def spec():
+        # speculative decoding physics: an 8-token verify forward vs the
+        # 1-token step (both bandwidth-bound => ratio ~1 => accepted
+        # drafts are nearly free); plus an e2e run with measured accept
+        ex["spec_verify8_ms_32k_paged"] = round(
+            _spec_verify_bench(jax, jnp, cfg, params, 32768, T=8), 2)
+        em.emit()
+        tok_s, accept = _spec_e2e_bench(jax, jnp, cfg, params, 32768)
+        ex["spec_decode_tok_s_32k_paged"] = round(tok_s, 1)
+        ex["spec_accept_per_forward_32k"] = round(accept, 2)
+
+    em.run("spec", 240, spec)
+
+    def turn():
+        ex["turn_prefill_ms_2k_over_32k"] = round(
+            _turn_prefill_bench(jax, jnp, cfg, params) * 1000, 1)
+
+    em.run("turn_prefill", 120, turn)
+
+    if not os.environ.get("V2PE_BENCH_SKIP_128K"):
+        def prefill128():
+            b128 = mkbatch(131072, 64)
+            tp128, ttft128 = _ttft_prefill(jax, jnp, cfg, params, b128,
+                                           internvl_chat, internlm2)
+            ex["prefill_ttftpath_tok_s_128k_64tiles"] = round(tp128, 1)
+            ex["ttft_s_128k_64tiles"] = round(ttft128, 3)
+
+        em.run("prefill_128k", 240, prefill128)
+
+    if not os.environ.get("V2PE_BENCH_SKIP_256K"):
+        def prefill256():
+            b256 = mkbatch(262144, 64)
+            tp256, ttft256 = _ttft_prefill_slabbed(
+                jax, jnp, cfg, params, b256, internvl_chat, internlm2)
+            ex["prefill_ttftpath_tok_s_256k_64tiles"] = round(tp256, 1)
+            ex["ttft_s_256k_64tiles"] = round(ttft256, 3)
+
+        # the head program alone compiles ~370 s cold at 256k
+        em.run("prefill_256k", 600, prefill256)
+
+    # the BASELINE.json north-star context: 256k decode on ONE chip.
+    # w8 weights (~2.2 GB) + int8 KV (~12.6 GB + scales) is the only
+    # configuration with a chance on 16 GB. Runs LAST-but-one: an OOM
+    # here must not poison later datapoints (the emitter drops the
+    # traceback + gc.collect()s, but order is the second seatbelt);
+    # docs/long_context_serving.md carries the fit analysis.
+    dp("decode_tok_s_256k_paged_w8kv8", 180,
+       lambda: _decode_bench(jax, jnp, cfg, qparams, 262144, paged=True,
+                             kv_dtype="int8"))
+
+    qparams.clear()  # free the 2.2 GB quantized weights before train
+
+    def train():
+        # LAST: the train step donates (consumes) the params buffers
+        ex["train_tok_s_8k_8tiles"] = round(
+            _train_bench(jax, jnp, cfg, params), 1)
+
+    em.run("train", 420, train)
+    em.emit()
 
 
 if __name__ == "__main__":

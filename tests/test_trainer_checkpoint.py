@@ -147,3 +147,59 @@ def test_async_saver_commit_semantics(tmp_path):
     finally:
         saver.close()  # finalizes step 3 + prunes step 1
     assert ckpt_lib.list_checkpoints(str(tmp_path)) == [2, 3]
+
+
+def test_train_loop_lora_checkpoints_adapters(toy_dataset, tokenizer,
+                                              tmp_path):
+    """LoRA trainer integration (VERDICT r3 #3): checkpoints hold the
+    ADAPTER tree (small), resume restores it, base weights stay frozen
+    through the loop, and the returned params are merged."""
+    cfg = _cfg(len(tokenizer))
+    ctx_id = tokenizer.convert_tokens_to_ids("<IMG_CONTEXT>")
+
+    def make_packer():
+        dsets = build_datasets(
+            toy_dataset, tokenizer, image_size=56, num_image_token=4,
+            max_dynamic_patch=6, rope_pos_id_stride=2)
+        return PackedSampleIterator(dsets, max_tokens=192,
+                                    max_tiles_per_row=8, seed=5,
+                                    img_context_token_id=ctx_id)
+
+    run = RunConfig(output_dir=str(tmp_path / "out"), max_steps=2,
+                    save_steps=2, save_total_limit=2, log_steps=1,
+                    max_packed_tokens=192, max_tiles=8)
+    tc = TrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=2)
+
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    frozen = jax.tree.map(np.asarray, params)
+    merged, _, _ = train(cfg, params, make_packer(), run, tc,
+                         img_context_token_id=ctx_id, attn_impl="jnp",
+                         resume=False, use_llm_lora=4, use_backbone_lora=2)
+
+    # base weights untouched by the loop
+    for a, b in zip(jax.tree.leaves(frozen), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    # returned tree is merged base+adapters: same structure as params,
+    # wqkv kernels differ (adapters trained), embeddings identical
+    assert (jax.tree_util.tree_structure(merged)
+            == jax.tree_util.tree_structure(params))
+    np.testing.assert_array_equal(np.asarray(merged["llm"]["tok_embeddings"]),
+                                  frozen["llm"]["tok_embeddings"])
+    assert not np.array_equal(np.asarray(merged["llm"]["layers"]["wqkv_kernel"]),
+                              frozen["llm"]["layers"]["wqkv_kernel"])
+
+    # the checkpoint holds the adapter tree: restore with an adapter
+    # template and merge reproduces the returned params
+    from v2pe_tpu.models.lora import build_lora, merge_lora
+    from v2pe_tpu.train.optimizer import build_optimizer as _bo
+
+    tmpl = build_lora(jax.random.PRNGKey(123), params, backbone_r=2,
+                      llm_r=4)
+    tx = _bo(tc, tmpl)
+    last = ckpt_lib.latest_checkpoint(run.output_dir)
+    adapters, _, step, _ = ckpt_lib.restore_checkpoint(last, tmpl,
+                                                       tx.init(tmpl))
+    assert step == 2
+    remerged = merge_lora(params, adapters)
+    for a, b in zip(jax.tree.leaves(merged), jax.tree.leaves(remerged)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

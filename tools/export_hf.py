@@ -32,6 +32,11 @@ def main(argv=None):
     p.add_argument("--hf-template", default=None,
                    help="original HF checkpoint dir; its non-weight files "
                         "are copied into --out")
+    p.add_argument("--lora-base", default=None,
+                   help="when --checkpoint is a LoRA ADAPTER checkpoint "
+                        "(train --use_llm_lora/--use_backbone_lora), the "
+                        "base weights to merge into: an HF safetensors dir "
+                        "or an orbax step dir")
     args = p.parse_args(argv)
 
     import jax
@@ -66,6 +71,20 @@ def main(argv=None):
     with ocp.PyTreeCheckpointer() as ckptr:
         params = ckptr.restore(os.path.abspath(os.path.join(ckpt, "params")))
 
+    lora = None
+    if args.lora_base:
+        lora, base = params, args.lora_base
+        if os.path.isdir(os.path.join(base, "params")):
+            with ocp.PyTreeCheckpointer() as ckptr:
+                params = ckptr.restore(
+                    os.path.abspath(os.path.join(base, "params")))
+        else:
+            import jax.numpy as jnp
+
+            from v2pe_tpu.models.params import load_safetensors_checkpoint
+
+            params = load_safetensors_checkpoint(base, cfg, jnp.float32)
+
     os.makedirs(args.out, exist_ok=True)
     if args.hf_template:
         for name in os.listdir(args.hf_template):
@@ -74,7 +93,7 @@ def main(argv=None):
             src = os.path.join(args.hf_template, name)
             if os.path.isfile(src):
                 shutil.copy2(src, os.path.join(args.out, name))
-    sd = export_torch_state_dict(params, cfg)
+    sd = export_torch_state_dict(params, cfg, lora=lora)
     out_file = os.path.join(args.out, "model.safetensors")
     save_safetensors(sd, out_file, args.dtype)
     print(f"wrote {out_file} ({len(sd)} tensors, {args.dtype})")

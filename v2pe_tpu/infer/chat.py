@@ -29,7 +29,17 @@ class ChatModel:
 
     def __init__(self, params, cfg: VLMConfig, tokenizer,
                  attn_impl: str = "auto", cache_mode: str = "dense",
-                 page_size: int = 128, kv_dtype=None, weights_dtype=None):
+                 page_size: int = 128, kv_dtype=None, weights_dtype=None,
+                 lora=None):
+        if lora is not None:
+            # a trained adapter tree (train --use_llm_lora/--use_backbone_
+            # lora checkpoint): merge exactly into the base weights once at
+            # load — inference then costs the same as the full model
+            import jax
+
+            from v2pe_tpu.models.lora import merge_lora
+
+            params = jax.jit(merge_lora)(params, lora)
         if weights_dtype == "int8":
             # int8 weight-only serving (ops/quantized_matmul.py): every
             # consumer of self.params — chat/generate/ChatSession/

@@ -170,9 +170,20 @@ def export_llm_state_dict(llm: dict, lc, sd: dict,
     sd[prefix + "lm_head.weight"] = _f32(llm["output_kernel"]).T
 
 
-def export_torch_state_dict(params: dict, cfg: VLMConfig) -> dict:
+def export_torch_state_dict(params: dict, cfg: VLMConfig,
+                            lora=None) -> dict:
     """Full InternVLChatModel state dict (numpy float32 values, HF key
-    names); round-trips through ``convert_torch_state_dict``."""
+    names); round-trips through ``convert_torch_state_dict``.
+
+    ``lora``: an adapter tree from a --use_llm_lora/--use_backbone_lora
+    training run — merged exactly into the base weights before export, the
+    analogue of peft's merge_and_unload at save time."""
+    if lora is not None:
+        import jax
+
+        from v2pe_tpu.models.lora import merge_lora
+
+        params = jax.jit(merge_lora)(params, lora)
     sd: dict = {}
     export_vision_state_dict(params["vision"], cfg.vision, sd)
     export_llm_state_dict(params["llm"], cfg.llm, sd)

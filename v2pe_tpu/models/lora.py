@@ -51,13 +51,17 @@ def init_lora(key, params, targets: List[str], r: int = 16,
 
 
 def merge_lora(params, lora) -> dict:
-    """W' = W + (alpha/r) * A @ B — exact merged weights."""
+    """W' = W + (alpha/r) * A @ B — exact merged weights.
+
+    Differentiable through A/B (the LoRA train step computes the forward on
+    the merged weights and backprops into the adapters only); alpha is a
+    fixed hyperparameter, so it is stop_gradient'ed."""
 
     def visit(w, ad):
         if ad is None:
             return w
         r = ad["a"].shape[-1]
-        scale = ad["alpha"] / r
+        scale = jax.lax.stop_gradient(ad["alpha"]) / r
         delta = jnp.einsum("...ir,...ro->...io",
                            ad["a"].astype(jnp.float32),
                            ad["b"].astype(jnp.float32)) * scale
@@ -66,6 +70,39 @@ def merge_lora(params, lora) -> dict:
     return jax.tree.map(visit, params, lora,
                         is_leaf=lambda x: x is None or isinstance(x, dict)
                         and "a" in x)
+
+
+def combine_lora(*loras) -> dict:
+    """Union of adapter trees built over the same params (e.g. backbone +
+    llm target sets with different ranks); at most one may be non-None at
+    any leaf."""
+
+    def visit(*ads):
+        present = [a for a in ads if a is not None]
+        assert len(present) <= 1, "overlapping LoRA target sets"
+        return present[0] if present else None
+
+    return jax.tree.map(visit, *loras,
+                        is_leaf=lambda x: x is None or isinstance(x, dict)
+                        and "a" in x)
+
+
+def build_lora(key, params, backbone_r: int = 0, llm_r: int = 0,
+               dtype=jnp.float32) -> Optional[dict]:
+    """The reference's use_backbone_lora/use_llm_lora entry
+    (modeling_internvl_chat.py:142-163; finetune args :98-105): rank per
+    tower, peft-parity targets, alpha = 2*r. Returns None when both 0."""
+    if not backbone_r and not llm_r:
+        return None
+    kb, kl = jax.random.split(key)
+    trees = []
+    if backbone_r:
+        trees.append(init_lora(kb, params, BACKBONE_TARGETS, r=backbone_r,
+                               dtype=dtype))
+    if llm_r:
+        trees.append(init_lora(kl, params, LLM_TARGETS, r=llm_r,
+                               dtype=dtype))
+    return trees[0] if len(trees) == 1 else combine_lora(*trees)
 
 
 def lora_trainable_mask(params, lora):

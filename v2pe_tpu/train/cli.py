@@ -99,6 +99,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--drop_path_rate", type=float, default=0.0,
                    help="ViT stochastic depth; published V2PE recipes "
                         "use 0.1")
+    p.add_argument("--use_backbone_lora", type=int, default=0,
+                   help="LoRA rank for the ViT tower (0 = full finetune; "
+                        "wrap_backbone_lora parity, "
+                        "modeling_internvl_chat.py:142-152)")
+    p.add_argument("--use_llm_lora", type=int, default=0,
+                   help="LoRA rank for the LLM (0 = full finetune; "
+                        "wrap_llm_lora parity, "
+                        "modeling_internvl_chat.py:153-163). Checkpoints "
+                        "then store the adapter tree only; export merged "
+                        "weights with tools/export_hf.py --lora-base")
     p.add_argument("--freeze_llm", action="store_true")
     p.add_argument("--freeze_backbone", action="store_true")
     p.add_argument("--freeze_mlp", action="store_true")
@@ -257,7 +267,9 @@ def main(argv=None):
           pixel_dtype=pixel_dtype, metrics_hook=hook,
           pipe_microbatches=args.pipe_microbatches,
           ring_mode=args.ring_mode, remat=not args.no_remat,
-          async_save=not args.sync_save)
+          async_save=not args.sync_save,
+          use_backbone_lora=args.use_backbone_lora,
+          use_llm_lora=args.use_llm_lora)
 
 
 if __name__ == "__main__":

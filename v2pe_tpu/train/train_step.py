@@ -59,21 +59,44 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation,
                     mesh: Optional[Mesh], img_context_token_id: int,
                     attn_impl: str = "auto", remat: bool = True,
                     donate: bool = True, pipe_microbatches: int = 0,
-                    ring_mode: str = "scan"):
+                    ring_mode: str = "scan", lora: bool = False):
     """Returns step(params, opt_state, batch) -> (params, opt_state, metrics).
 
     When `mesh` is given the step is jitted with sharded in/out specs and a
     ShardingContext is active during tracing so attention routes through
-    shard_map (ring over 'seq' when sized)."""
+    shard_map (ring over 'seq' when sized).
 
-    def step(params, opt_state, batch, dropout_rng=None):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            params, cfg, batch, img_context_token_id, attn_impl, remat,
-            dropout_rng)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        gnorm = optax.global_norm(grads)
-        return params, opt_state, {"loss": loss, "grad_norm": gnorm}
+    With ``lora=True`` the step is
+    step(lora_tree, opt_state, batch, base_params) -> (lora_tree, ...):
+    the forward runs on merge_lora(base, adapters) inside jit, gradients
+    flow ONLY into the adapter tree (base params are a frozen, non-donated
+    argument), and tx/opt_state cover just the adapters — the optimizer
+    state is rank-sized, which is the point of LoRA (reference:
+    wrap_backbone_lora/wrap_llm_lora, modeling_internvl_chat.py:142-163)."""
+
+    if lora:
+        from v2pe_tpu.models.lora import merge_lora
+
+        def step(adapters, opt_state, batch, base_params, dropout_rng=None):
+            def lora_loss(adapters):
+                eff = merge_lora(base_params, adapters)
+                return loss_fn(eff, cfg, batch, img_context_token_id,
+                               attn_impl, remat, dropout_rng)
+
+            loss, grads = jax.value_and_grad(lora_loss)(adapters)
+            updates, opt_state = tx.update(grads, opt_state, adapters)
+            adapters = optax.apply_updates(adapters, updates)
+            gnorm = optax.global_norm(grads)
+            return adapters, opt_state, {"loss": loss, "grad_norm": gnorm}
+    else:
+        def step(params, opt_state, batch, dropout_rng=None):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, cfg, batch, img_context_token_id, attn_impl, remat,
+                dropout_rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            gnorm = optax.global_norm(grads)
+            return params, opt_state, {"loss": loss, "grad_norm": gnorm}
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0, 1) if donate else ())

@@ -90,6 +90,8 @@ def train(
     ring_mode: str = "scan",
     remat: bool = True,
     async_save: bool = True,
+    use_backbone_lora: int = 0,
+    use_llm_lora: int = 0,
 ):
     """Run the training loop; returns (params, opt_state, step).
 
@@ -97,26 +99,47 @@ def train(
     CLI does); the mesh then spans all processes with the data axis on DCN,
     each host packs its own dataset shard (build_datasets data_rank /
     data_world_size), and per-host batches are assembled into global arrays
-    — ``run.rows_per_batch`` is the PER-HOST row count."""
+    — ``run.rows_per_batch`` is the PER-HOST row count.
+
+    With use_backbone_lora/use_llm_lora > 0 (the rank; reference finetune
+    args internvl_chat_finetune.py:98-105) the base model is frozen and
+    only rank-r adapters train: checkpoints then hold the ADAPTER tree (+
+    its small optimizer state), and the returned params are the merged
+    weights (base + adapters), export-ready."""
     mesh = make_global_mesh(mesh_cfg) if mesh_cfg and \
         mesh_cfg.num_devices > 1 else None
     seq_shards = mesh_cfg.seq if mesh_cfg else 1
 
-    tx = build_optimizer(tc, params)
+    lora_mode = bool(use_backbone_lora or use_llm_lora)
+    if lora_mode:
+        from v2pe_tpu.models.lora import build_lora, merge_lora
+
+        adapters = build_lora(jax.random.PRNGKey(run.seed ^ 0x10BA), params,
+                              backbone_r=use_backbone_lora,
+                              llm_r=use_llm_lora)
+        trainable = adapters
+    else:
+        trainable = params
+
+    tx = build_optimizer(tc, trainable)
     if mesh is not None:
         params = shard_params(params, mesh)
-    opt_state = init_opt_state(tx, params, mesh)
+        trainable = params if not lora_mode else shard_params(trainable,
+                                                              mesh)
+    opt_state = init_opt_state(tx, trainable, mesh)
     step_fn = make_train_step(cfg, tx, mesh, img_context_token_id,
                               attn_impl=attn_impl, remat=remat,
                               pipe_microbatches=pipe_microbatches,
-                              ring_mode=ring_mode)
+                              ring_mode=ring_mode, lora=lora_mode)
 
     start_step = 0
     if resume:
         last = ckpt_lib.latest_checkpoint(run.output_dir)
         if last is not None:
-            params, opt_state, start_step, data_state = \
-                ckpt_lib.restore_checkpoint(last, params, opt_state)
+            trainable, opt_state, start_step, data_state = \
+                ckpt_lib.restore_checkpoint(last, trainable, opt_state)
+            if not lora_mode:
+                params = trainable
             if data_state is not None:
                 packer.load_state_dict(data_state)
             logger.info("resumed from %s at step %d", last, start_step)
@@ -160,13 +183,14 @@ def train(
                     batch, mesh, vit_rows_per_tile=cfg.num_image_token)
             else:
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            if use_dp:
-                params, opt_state, metrics = step_fn(
-                    params, opt_state, batch,
-                    jax.random.fold_in(dp_base, step))
+            rng = jax.random.fold_in(dp_base, step) if use_dp else None
+            if lora_mode:
+                trainable, opt_state, metrics = step_fn(
+                    trainable, opt_state, batch, params, rng)
             else:
-                params, opt_state, metrics = step_fn(params, opt_state,
-                                                     batch)
+                trainable, opt_state, metrics = step_fn(trainable, opt_state,
+                                                        batch, rng)
+                params = trainable
             tokens_since += run.rows_per_batch * run.max_packed_tokens
 
             if (step + 1) % run.log_steps == 0:
@@ -191,12 +215,12 @@ def train(
                     # returns once device arrays are snapshotted; disk write
                     # overlaps the following steps (commit at next save/exit)
                     path = saver.save(
-                        run.output_dir, step + 1, params, opt_state,
+                        run.output_dir, step + 1, trainable, opt_state,
                         data_state=ds,
                         save_total_limit=run.save_total_limit, cfg=cfg)
                 else:
                     path = ckpt_lib.save_checkpoint(
-                        run.output_dir, step + 1, params, opt_state,
+                        run.output_dir, step + 1, trainable, opt_state,
                         data_state=ds,
                         save_total_limit=run.save_total_limit, cfg=cfg)
                 logger.info("saved %s", path)
@@ -205,4 +229,6 @@ def train(
         if saver is not None:
             saver.close()
 
+    if lora_mode:
+        params = jax.jit(merge_lora)(params, trainable)
     return params, opt_state, run.max_steps
