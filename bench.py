@@ -659,9 +659,18 @@ class _Emitter:
             # cycle and cascade RESOURCE_EXHAUSTED into every later
             # datapoint (observed in the first round-4 run)
             e.__traceback__ = None
-            import gc
+        # release every dead jit executable between datapoints: compiled
+        # programs accumulated across the suite hold device memory (the
+        # second round-4 run cascaded RESOURCE_EXHAUSTED from the engine
+        # bench on even though live_arrays() showed only the 6 GiB of
+        # weights); re-lowering is seconds and XLA recompiles hit the
+        # persistent disk cache
+        import gc
 
-            gc.collect()
+        import jax as _jax
+
+        gc.collect()
+        _jax.clear_caches()
         self.emit()
 
     def emit(self):

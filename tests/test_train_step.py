@@ -99,3 +99,38 @@ def test_chunked_ce_stays_chunked_on_data_only_mesh():
     with pctx.use_sharding(pctx.ShardingContext(mesh=mesh)):
         out = chunked_cross_entropy(hidden, kernel, targets, w, chunk=512)
     np.testing.assert_allclose(float(out), float(ref), rtol=1e-6)
+
+
+def test_embed_tokens_grad_matches_plain_gather():
+    """embed_tokens (custom-vjp staged-reshard embedding) must be
+    value- and gradient-identical to a plain table[ids] gather, with and
+    without an active ShardingContext (the bwd's explicit replicate
+    constraint is a layout annotation, not a math change)."""
+    from jax.sharding import Mesh
+
+    from v2pe_tpu.models.internlm2 import embed_tokens
+    from v2pe_tpu.parallel import context as pctx
+
+    rng = np.random.RandomState(1)
+    V, D = 64, 8
+    table = jnp.asarray(rng.randn(V, D).astype(np.float32))
+    ids = jnp.asarray(rng.randint(0, V, size=(2, 16)).astype(np.int32))
+    ct = jnp.asarray(rng.randn(2, 16, D).astype(np.float32))
+
+    def loss_plain(t):
+        return jnp.sum(t[ids] * ct)
+
+    def loss_custom(t):
+        return jnp.sum(embed_tokens(t, ids) * ct)
+
+    g_plain = jax.grad(loss_plain)(table)
+    g_custom = jax.grad(loss_custom)(table)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_plain),
+                               rtol=1e-6)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 2, 1, 2),
+                ("data", "fsdp", "seq", "tensor"))
+    with pctx.use_sharding(pctx.ShardingContext(mesh=mesh)):
+        g_mesh = jax.jit(jax.grad(loss_custom))(table)
+    np.testing.assert_allclose(np.asarray(g_mesh), np.asarray(g_plain),
+                               rtol=1e-6)

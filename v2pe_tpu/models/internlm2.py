@@ -45,6 +45,46 @@ class KVCache(NamedTuple):
                        jnp.zeros((), jnp.int32))
 
 
+@jax.custom_vjp
+def embed_tokens(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Embedding gather whose backward stages the cotangent reshard.
+
+    The vjp of a plain ``table[ids]`` is a scatter-add into the grad of the
+    tensor-sharded embedding table; GSPMD must reshard the batch-sharded
+    (B,S,D) cotangent to the table's hidden-dim sharding and (for some
+    mesh shapes, e.g. the compress-seq dryrun's data=2,fsdp=2,tensor=2)
+    cannot find an efficient path — it falls back to "involuntary full
+    rematerialization" (replicate-then-slice) with a spmd_partitioner.cc
+    warning. Replicating the cotangent *explicitly* first is the identical
+    data movement, minus the warning and minus the partitioner's pessimism:
+    an all-gather over the batch axes, then a free local slice on D."""
+    return table[ids]
+
+
+def _embed_fwd(table, ids):
+    # residual carries `table` for its STATIC shape/dtype only — the bwd
+    # never reads its values, so XLA prunes the dependency
+    return table[ids], (ids, table)
+
+
+def _embed_bwd(res, ct):
+    ids, table = res
+    tshape, tdtype = table.shape, table.dtype
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from v2pe_tpu.parallel import context as pctx
+
+    ctx = pctx.current()
+    if ctx is not None:
+        ct = jax.lax.with_sharding_constraint(
+            ct, NamedSharding(ctx.mesh, P()))
+    dtable = jnp.zeros(tshape, ct.dtype).at[ids].add(ct)
+    return dtable.astype(tdtype), None
+
+
+embed_tokens.defvjp(_embed_fwd, _embed_bwd)
+
+
 def split_wqkv(qkv: jnp.ndarray, cfg: LLMConfig):
     """(B, S, (Hkv*(2+G))*hd) -> q (B,S,Hq,hd), k/v (B,S,Hkv,hd).
 
@@ -472,7 +512,7 @@ def llm_forward(
                 "build the inference mesh without a pipe axis "
                 "(parallel/pipeline.py is a training-forward schedule)")
     if inputs_embeds is None:
-        inputs_embeds = params["tok_embeddings"][input_ids]
+        inputs_embeds = embed_tokens(params["tok_embeddings"], input_ids)
     x = inputs_embeds
     B, S, _ = x.shape
 

@@ -155,7 +155,7 @@ def forward(
     drop_path_rng=None,
 ) -> VLMOutput:
     llm = params["llm"]
-    input_embeds = llm["tok_embeddings"][input_ids]
+    input_embeds = internlm2.embed_tokens(llm["tok_embeddings"], input_ids)
 
     vit_embeds = extract_feature(params, cfg, pixel_values,
                                  attn_impl=attn_impl, remat=remat,

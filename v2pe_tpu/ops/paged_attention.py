@@ -165,10 +165,12 @@ def store_fresh_token(
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            # int8 mode carries 4 extra page-sized blocks (scale pools) +
-            # the widened select intermediates: the default 16 MB scoped
-            # vmem overflows at ps=1024 (measured 21.5 MB)
-            vmem_limit_bytes=(64 * 1024 * 1024) if quantized else None,
+            # the k/v page blocks are ~8 MB per grid step at ps=1024; with
+            # B>1 the grid pipeline double-buffers them and the default
+            # 16 MB scoped vmem overflows (measured 16.18 MB at B=8 bf16,
+            # 21.5 MB quantized) — and the failed compile poisons the
+            # remote-compile backend for the rest of the process
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(fresh_pages.astype(jnp.int32), lengths, layer.reshape(1),
