@@ -761,21 +761,18 @@ def main():
        lambda: _decode_bench(jax, jnp, cfg, params, 8192, paged=True,
                              batch=8))
 
-    # int8 weight-only serving (ops/quantized_matmul.py): decode is
-    # weight-bandwidth-bound, so halving the weight bytes raises the
-    # ceiling ~2x; w8 + int8 KV is the min-HBM long-context config
-    from v2pe_tpu.ops.quantized_matmul import quantize_llm_params
-
-    qparams = dict(params)
-    qparams["llm"] = jax.jit(quantize_llm_params)(params["llm"])
-    dp("decode_tok_s_8k_dense_w8", 90,
-       lambda: _decode_bench(jax, jnp, cfg, qparams, 8192, paged=False))
-    dp("decode_tok_s_32k_paged_w8kv8", 90,
-       lambda: _decode_bench(jax, jnp, cfg, qparams, 32768, paged=True,
-                             kv_dtype="int8"))
-    dp("decode_tok_s_128k_paged_w8kv8", 120,
-       lambda: _decode_bench(jax, jnp, cfg, qparams, 131072, paged=True,
-                             kv_dtype="int8"))
+    # --- memory-tier ordering -------------------------------------------
+    # HBM is 16 GB and the bf16 weights are ~4.4 GB; every datapoint below
+    # is placed so its peak (weights + pools) fits with headroom:
+    #   tier A (bf16 params only): engine / spec / turn / 128k prefill —
+    #     round-4 runs v4+v5 OOM'd the engine bench (8x8k pool ~6.5 GB)
+    #     because the 2.2 GB quantized weights were ALSO live; quantize
+    #     strictly after tier A.
+    #   tier B (bf16 + w8): the w8 decode set through 128k (measured fit).
+    #   tier C (w8 only): 256k w8kv8 decode = 2.2 GB weights + ~12.8 GB
+    #     int8 pool — fits ONLY with the bf16 params freed first.
+    #   tier D: re-init bf16 params (seconds, random init on device) for
+    #     the 256k prefill + the train step (which donates/consumes them).
 
     def engine():
         # continuous-batching serving throughput (serve/engine.py): 8
@@ -816,33 +813,58 @@ def main():
 
         em.run("prefill_128k", 240, prefill128)
 
+    # int8 weight-only serving (ops/quantized_matmul.py): decode is
+    # weight-bandwidth-bound, so halving the weight bytes raises the
+    # ceiling ~2x; w8 + int8 KV is the min-HBM long-context config.
+    # llm-only dict: the decode benches read params["llm"] alone, and a
+    # shallow copy of `params` would keep the ViT alive into tier C.
+    from v2pe_tpu.ops.quantized_matmul import quantize_llm_params
+
+    qparams = {"llm": jax.jit(quantize_llm_params)(params["llm"])}
+    dp("decode_tok_s_8k_dense_w8", 90,
+       lambda: _decode_bench(jax, jnp, cfg, qparams, 8192, paged=False))
+    dp("decode_tok_s_32k_paged_w8kv8", 90,
+       lambda: _decode_bench(jax, jnp, cfg, qparams, 32768, paged=True,
+                             kv_dtype="int8"))
+    dp("decode_tok_s_128k_paged_w8kv8", 120,
+       lambda: _decode_bench(jax, jnp, cfg, qparams, 131072, paged=True,
+                             kv_dtype="int8"))
+
+    # the BASELINE.json north-star context: 256k decode on ONE chip.
+    # w8 weights (~2.2 GB) + int8 KV (~12.8 GB incl. scales) fits 16 GB
+    # only with the bf16 weights gone; they are re-created cheaply below.
+    params = None
+    batch8k = None
+    import gc as _gc
+
+    _gc.collect()
+    dp("decode_tok_s_256k_paged_w8kv8", 180,
+       lambda: _decode_bench(jax, jnp, cfg, qparams, 262144, paged=True,
+                             kv_dtype="int8"))
+
+    qparams.clear()  # free the 2.2 GB quantized weights
+
+    def fresh_params():
+        # same PRNGKey as the initial init: identical values, ~seconds of
+        # on-device random generation (the compiles are already cached)
+        return init_vlm_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+
     if not os.environ.get("V2PE_BENCH_SKIP_256K"):
         def prefill256():
+            p = fresh_params()
             b256 = mkbatch(262144, 64)
             tp256, ttft256 = _ttft_prefill_slabbed(
-                jax, jnp, cfg, params, b256, internvl_chat, internlm2)
+                jax, jnp, cfg, p, b256, internvl_chat, internlm2)
             ex["prefill_ttftpath_tok_s_256k_64tiles"] = round(tp256, 1)
             ex["ttft_s_256k_64tiles"] = round(ttft256, 3)
 
         # the head program alone compiles ~370 s cold at 256k
         em.run("prefill_256k", 600, prefill256)
 
-    # the BASELINE.json north-star context: 256k decode on ONE chip.
-    # w8 weights (~2.2 GB) + int8 KV (~12.6 GB + scales) is the only
-    # configuration with a chance on 16 GB. Runs LAST-but-one: an OOM
-    # here must not poison later datapoints (the emitter drops the
-    # traceback + gc.collect()s, but order is the second seatbelt);
-    # docs/long_context_serving.md carries the fit analysis.
-    dp("decode_tok_s_256k_paged_w8kv8", 180,
-       lambda: _decode_bench(jax, jnp, cfg, qparams, 262144, paged=True,
-                             kv_dtype="int8"))
-
-    qparams.clear()  # free the 2.2 GB quantized weights before train
-
     def train():
         # LAST: the train step donates (consumes) the params buffers
         ex["train_tok_s_8k_8tiles"] = round(
-            _train_bench(jax, jnp, cfg, params), 1)
+            _train_bench(jax, jnp, cfg, fresh_params()), 1)
 
     em.run("train", 420, train)
     em.emit()

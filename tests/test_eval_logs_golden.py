@@ -80,18 +80,27 @@ def test_milebench_multichoice_real_outputs(task):
     assert acc == pytest.approx(EXPECTED_OURS[task])
 
 
-@pytest.mark.parametrize("task", ["counting-image-test",
-                                  "retrieval-text-test",
-                                  "reasoning-image-test"])
-def test_mmniah_buckets_real_outputs(task):
-    """Length-bucket scoring over the committed MM-NIAH runs must match the
-    committed scores_test.json exactly (scores, weighted_acc, counts)."""
-    from v2pe_tpu.evalkit import mm_niah
+MMNIAH_TASKS = ["counting-image-test", "counting-text-test",
+                "reasoning-image-test", "reasoning-text-test",
+                "retrieval-image-test", "retrieval-text-test"]
 
+
+def _mmniah_jsonl(task):
     d = f"{LOGS}/mmniah/internvl2_5_8b/{task}"
     jsonls = [f for f in os.listdir(d) if f.endswith(".jsonl")]
     assert len(jsonls) == 1
-    got = mm_niah.score_jsonl(os.path.join(d, jsonls[0]), task_name=task)
+    return d, os.path.join(d, jsonls[0])
+
+
+@pytest.mark.parametrize("task", MMNIAH_TASKS)
+def test_mmniah_buckets_real_outputs(task):
+    """Length-bucket scoring over the committed MM-NIAH runs must match the
+    committed scores_test.json exactly (scores, weighted_acc, counts) —
+    all six tasks."""
+    from v2pe_tpu.evalkit import mm_niah
+
+    d, jsonl = _mmniah_jsonl(task)
+    got = mm_niah.score_jsonl(jsonl, task_name=task)
     model_dir = os.path.join(d, "results")
     model = os.listdir(model_dir)[0]
     expected = json.load(open(
@@ -104,6 +113,62 @@ def test_mmniah_buckets_real_outputs(task):
                                expected["sample_number_array"])
     np.testing.assert_allclose(float(np.mean(got["scores_by_length"])),
                                expected["average"], atol=1e-6)
+
+
+def _ref_mmniah_grid(jsonl_path, task):
+    """The reference's length x depth heatmap cells, computed with ITS OWN
+    code (eval/mm_niah/calculate_scores.py:134-175 inner loop + is_correct)
+    executed in-process on the committed jsonl."""
+    import importlib.util
+    import sys
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    spec = importlib.util.spec_from_file_location(
+        "ref_calc", f"{LOGS}/../eval/mm_niah/calculate_scores.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    total = np.zeros((len(ref.x_bins) + 1, int(1 / ref.y_interval)))
+    correct = np.zeros_like(total)
+    for line in open(jsonl_path):
+        entry = json.loads(line)
+        x = float(entry["context_length"])
+        y = entry["placed_depth"]
+        if isinstance(y, str):
+            y = json.loads(y)
+        if isinstance(y, list):
+            y = sum(y) / len(y)
+        if y == 1.0:
+            y = 0.99
+        answer = entry["answer"]
+        if "counting" in task and not isinstance(answer, list):
+            answer = json.loads(answer)
+        xi = np.digitize(x, ref.x_bins)
+        yi = int(y / ref.y_interval)
+        total[xi][yi] += 1
+        correct[xi][yi] += ref.is_correct(answer, entry["response"])
+    grid = np.divide(correct, total, out=np.zeros_like(correct),
+                     where=total != 0)
+    return grid[1:].T  # (depth_bins, len_bins) as rendered by the heatmap
+
+
+@pytest.mark.parametrize("task", MMNIAH_TASKS)
+def test_mmniah_depth_grid_matches_reference(task, tmp_path):
+    """Every heatmap CELL (length bin x depth bin), not just the
+    per-length means, must match the reference scorer bit-for-bit on the
+    committed real outputs; the rendered heatmap artifact must also land."""
+    from v2pe_tpu.evalkit import mm_niah
+
+    _, jsonl = _mmniah_jsonl(task)
+    ours = np.asarray(mm_niah.score_jsonl(jsonl, task_name=task)["grid"])
+    ref_grid = _ref_mmniah_grid(jsonl, task)
+    assert ours.shape == ref_grid.shape == (5, len(mm_niah.X_BINS))
+    np.testing.assert_array_equal(ours, ref_grid)
+
+    out = tmp_path / "hm.png"
+    mm_niah._render_heatmap(ours, str(out))
+    assert out.exists() and out.stat().st_size > 0
 
 
 def test_scienceqa_real_outputs_accuracy():

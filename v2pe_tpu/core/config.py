@@ -199,6 +199,89 @@ class VLMConfig:
 
 
 # --------------------------------------------------------------------------
+# HF config.json bridge
+# --------------------------------------------------------------------------
+
+_HF_ARCH = {
+    "InternLM2ForCausalLM": "internlm2",
+    "Qwen2ForCausalLM": "qwen2",
+    "LlamaForCausalLM": "llama",
+    "Phi3ForCausalLM": "phi3",
+}
+
+
+def is_hf_config(d: dict) -> bool:
+    """True when `d` is an HF-hub InternVLChat config.json (the reference's
+    ``InternVLChatConfig.to_dict()``: nested ``llm_config``/``vision_config``)
+    rather than this framework's flat ``VLMConfig`` JSON."""
+    return d.get("model_type") == "internvl_chat" or "llm_config" in d
+
+
+def vlm_config_from_hf(d: dict) -> VLMConfig:
+    """Derive a VLMConfig from an HF-hub InternVL snapshot's config.json.
+
+    This is the entry point of the real-checkpoint runbook: a user points
+    the CLI at a downloaded ``OpenGVLab/InternVL2-*`` directory and the
+    architecture hyperparameters come from the checkpoint itself, exactly
+    as the reference's ``InternVLChatConfig.from_pretrained`` does
+    (``internvl/model/internvl_chat/configuration_internvl_chat.py:23-99``).
+    Unknown/irrelevant HF keys (dtype, transformers_version, ...) are
+    ignored; fields absent from the file keep the class defaults.
+    """
+    hv = d.get("vision_config") or {}
+    hl = d.get("llm_config") or {}
+
+    def pick(cls, src: dict) -> dict:
+        names = {f.name for f in dataclasses.fields(cls)}
+        return {k: v for k, v in src.items() if k in names and v is not None}
+
+    vision = VisionConfig(**pick(VisionConfig, hv))
+
+    archs = hl.get("architectures") or ["InternLM2ForCausalLM"]
+    arch = _HF_ARCH.get(archs[0])
+    if arch is None:
+        raise ValueError(f"unsupported llm architecture {archs[0]!r}; "
+                         f"known: {sorted(_HF_ARCH)}")
+    lkw = pick(LLMConfig, hl)
+    lkw["arch"] = arch
+    # HF configs omit num_key_value_heads for MHA checkpoints
+    lkw.setdefault("num_key_value_heads", hl.get("num_attention_heads",
+                                                 LLMConfig.num_attention_heads))
+    if arch == "qwen2":
+        # Qwen2 biases q/k/v but not o_proj; HF's Qwen2Config carries no
+        # flag for it (pre-2.5 models are always biased)
+        lkw.setdefault("qkv_bias", True)
+    # rope_scaling {'type','factor'} -> rope_mode/rope_scaling_factor;
+    # absent => positions are consumed raw (the V2PE ids are computed by
+    # the data/inference side per rope_pos_id_version, not by the decoder)
+    rs = hl.get("rope_scaling")
+    if isinstance(rs, dict) and rs.get("type") in ("linear", "dynamic"):
+        lkw["rope_mode"] = rs["type"]
+        lkw["rope_scaling_factor"] = float(rs.get("factor", 1.0))
+    llm = LLMConfig(**lkw)
+
+    top = pick(VLMConfig, d)
+    top.pop("vision", None)
+    top.pop("llm", None)
+    # an explicit null stride must override the preset default (vanilla
+    # non-V2PE snapshots ship "rope_pos_id_stride": null)
+    if "rope_pos_id_stride" in d:
+        top["rope_pos_id_stride"] = d["rope_pos_id_stride"]
+    # the HF field is force_image_size; some snapshots carry image_size on
+    # the vision config only (handled by `vision` above)
+    return VLMConfig(vision=vision, llm=llm, **top)
+
+
+def load_vlm_config(path: str) -> VLMConfig:
+    """Read a config.json that is either this framework's VLMConfig JSON
+    (written next to every checkpoint by the trainer) or an HF-hub
+    InternVLChat config.json, detected by shape."""
+    with open(path) as f:
+        d = json.load(f)
+    return vlm_config_from_hf(d) if is_hf_config(d) else VLMConfig.from_dict(d)
+
+
+# --------------------------------------------------------------------------
 # Presets
 # --------------------------------------------------------------------------
 

@@ -99,12 +99,13 @@ def load_chat_model(args):
     # over the preset so eval reads rope_pos_id_stride etc. from the
     # checkpoint (eval_milebench.py:226-230 behavior). Explicit CLI flags
     # still override below.
+    # A config.json in an HF-hub snapshot (InternVLChatConfig.to_dict())
+    # is detected by shape and bridged (core/config.py:vlm_config_from_hf)
     ckpt_cfg = os.path.join(args.checkpoint, "config.json")
     if os.path.isfile(ckpt_cfg):
-        from v2pe_tpu.core.config import VLMConfig
+        from v2pe_tpu.core.config import load_vlm_config
 
-        with open(ckpt_cfg) as f:
-            cfg = VLMConfig.from_json(f.read())
+        cfg = load_vlm_config(ckpt_cfg)
     if args.rope_pos_id_version:
         cfg = dataclasses.replace(cfg,
                                   rope_pos_id_version=args.rope_pos_id_version)
@@ -171,7 +172,8 @@ def main(argv=None):
             rope_pos_id_stride=args.rope_pos_id_stride,
             generation_config=GenerationConfig(
                 max_new_tokens=args.max_new_tokens,
-                num_beams=args.num_beams))
+                num_beams=args.num_beams),
+            data_root=args.data_root or os.path.dirname(args.data))
         items = [json.loads(l) for l in open(args.data)]
         out = os.path.join(args.outputs_dir,
                            f"model_{args.task}.rank{args.rank}.jsonl")

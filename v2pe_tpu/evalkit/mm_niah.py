@@ -137,17 +137,26 @@ def _render_heatmap(grid: np.ndarray, path: str):
 def build_infer_fn(chat_model, max_tiles: int = 12,
                    rope_pos_id_version: Optional[str] = None,
                    rope_pos_id_stride: Optional[int] = None,
-                   generation_config=None):
+                   generation_config=None, data_root: Optional[str] = None):
     """infer_fn for runner.run_shard over MM-NIAH jsonl items
-    ({id, context, images_list, question, answer, meta...})."""
+    ({id, context, images_list, question, answer, meta...}).
+
+    ``images_list`` paths are relative to the benchmark distribution dir
+    (the reference joins them with args.image_folder,
+    eval/mm_niah/eval_mm_niah.py); ``data_root`` is that dir. Absolute and
+    object-store paths pass through unchanged."""
     import numpy as np
 
+    from v2pe_tpu.data import object_store
     from v2pe_tpu.data.datasets import load_image
 
     def infer(item: dict) -> dict:
         images = item.get("images_list") or []
         pixel_list, num_patches_list = [], []
         for path in images:
+            if data_root and not os.path.isabs(path) \
+                    and not object_store.is_remote(path):
+                path = os.path.join(data_root, path)
             img = load_image(path)
             pv, n = chat_model.load_pixels(img, max_num=max_tiles)
             pixel_list.append(pv)
