@@ -45,6 +45,7 @@ def _engine(chat_model, **kw):
 QUESTIONS = ["Describe the picture.", "What color?", "Count the objects."]
 
 
+@pytest.mark.slow  # heavy batched-decode compile; token-exactness re-certified every round by dryrun_multichip's engine check
 def test_engine_matches_isolated_chat(chat_model):
     """3 requests through a 2-row engine (third queues until a row frees)
     reproduce chat()'s greedy output per request."""
@@ -102,6 +103,7 @@ def test_engine_reclaims_pages(chat_model):
     assert r4.finished.is_set() and isinstance(r4.result(timeout=0), str)
 
 
+@pytest.mark.slow  # heavy batched-decode compile; eviction/reuse covered by the default admission/eviction tests
 def test_engine_row_reuse_matches(chat_model):
     """Requests served on REUSED rows (after earlier retirements wrote and
     freed the same physical pages) still match isolated runs."""
@@ -245,6 +247,7 @@ def test_prefix_cache_eviction_under_pressure(chat_model):
     assert eng.allocator.available + eng.prefix_cache.evictable == total
 
 
+@pytest.mark.slow  # heavy mesh compile; identical check runs in dryrun_multichip every round
 def test_engine_under_seq_mesh_token_exact(chat_model, jax8):
     """The engine constructed inside a (seq=4, tensor=2) mesh context —
     pool physically sharded over the mesh, per-shard page placement —
@@ -298,6 +301,7 @@ def test_page_allocator_sharded():
     assert a.alloc(5, first_slot=0) is not None
 
 
+@pytest.mark.slow  # heavy batched-decode compile; facade plumbing covered by evalkit engine-rows e2e default
 def test_engine_chat_facade_matches_chat(chat_model):
     """EngineChat.chat == ChatModel.chat (greedy), incl. image turns,
     history threading, and attribute delegation; threaded run_shard

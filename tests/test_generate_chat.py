@@ -14,6 +14,7 @@ from v2pe_tpu.models import internvl_chat
 from v2pe_tpu.models.params import init_vlm_params
 
 from .test_data_pipeline import _toy_tokenizer
+import pytest
 
 
 def _cfg(vocab):
@@ -28,6 +29,7 @@ def _cfg(vocab):
     )
 
 
+@pytest.mark.slow  # heavy decode-loop compile; teacher-forced consistency also covered by test_qwen2.py and test_decode.py defaults
 def test_greedy_generate_matches_teacher_forced():
     """Greedy decode must reproduce the argmax chain of full forwards."""
     cfg = _cfg(vocab=300)

@@ -9,8 +9,10 @@ import numpy as np
 from v2pe_tpu.core.config import LLMConfig, VLMConfig, VisionConfig
 from v2pe_tpu.models.internvl_chat import extract_feature
 from v2pe_tpu.models.params import init_vlm_params
+import pytest
 
 
+@pytest.mark.slow  # torch-reference builder (VERDICT r3 #8)
 def test_adaptive_pool_matches_torch():
     import torch
     import torch.nn.functional as F

@@ -86,7 +86,40 @@ def test_flash_pallas_fuzz_forward(seed):
                 f"shape={q.shape}x{k.shape} blocks=({bq},{bk})")
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("precision", ["bf16qk", "bf16all", "bf16exp"])
+def test_flash_pallas_precision_modes(precision):
+    """The flag-gated bf16-matmul forward variants (V2PE_FLASH_PRECISION /
+    flash_attention_fwd_pallas(precision=...)) must stay within one bf16
+    ulp of the fp32 parity kernel on bf16 inputs, with and without the
+    fused rope (scripts/flash_precision_expt.py measures the speed side)."""
+    from v2pe_tpu.ops.flash_pallas import flash_attention_fwd_pallas
+
+    rng = np.random.RandomState(0)
+    B, S, Hq, Hkv, D = 1, 256, 4, 2, 64
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.bfloat16)
+    seg = jnp.ones((B, S), jnp.int32)
+    pos = jnp.arange(S, dtype=jnp.int32)[None]
+    for theta in (0.0, 10000.0):
+        rope = pos.astype(jnp.float32) if theta else None
+        outs = {}
+        for prec in ("fp32", precision):
+            o, _ = flash_attention_fwd_pallas(
+                q, k, v, seg, seg, pos, pos, causal=True, scale=D ** -0.5,
+                block_q=128, block_k=128, interpret=True,
+                rope_q=rope, rope_k=rope, rope_theta=theta, precision=prec)
+            outs[prec] = np.asarray(o, np.float32)
+        dev = np.abs(outs[precision] - outs["fp32"]).max()
+        assert dev < 0.05, (precision, theta, dev)
+
+
+# two gradient-fuzz seeds per default run (~17 s each); the rest are slow
+@pytest.mark.parametrize("seed", [
+    0, 1,
+    pytest.param(2, marks=pytest.mark.slow),
+    pytest.param(3, marks=pytest.mark.slow),
+])
 def test_flash_pallas_fuzz_gradients(seed):
     rng = np.random.RandomState(2000 + seed)
     q, k, v, seg, causal, bq, bk = _random_case(rng)

@@ -11,8 +11,10 @@ from v2pe_tpu.evalkit.mm_niah_long import (build_teacher_forced_inputs,
                                            teacher_forced_eval)
 from v2pe_tpu.models import internvl_chat
 from v2pe_tpu.models.params import init_vlm_params
+import pytest
 
 
+@pytest.mark.slow  # heavy long-seq compile; the ring-longctx dryrun check runs the teacher-forced long path against dense every round
 def test_teacher_forced_matches_plain_forward():
     cfg = debug_tiny(vocab_size=300)
     params = init_vlm_params(jax.random.PRNGKey(0), cfg)

@@ -313,6 +313,7 @@ def test_paged_decode_parity_int8(T):
                                    rtol=0.05, atol=0.05)
 
 
+@pytest.mark.slow  # slow interpret sweep; int8 store/decode parity re-certified every round by the paged-decode dryrun check
 def test_store_fresh_token_int8_roundtrip():
     """The quantized store kernel writes value AND scale pages in place;
     token-by-token decode over them matches the dequantized-gather dense

@@ -88,6 +88,7 @@ def test_choose_microbatches():
         choose_microbatches(8, 4, requested=3)
 
 
+@pytest.mark.slow  # heavy 8-dev CPU-mesh train-step compile; geometry re-certified every round by dryrun_multichip's pipeline/gpipe check
 def test_pipeline_train_step_bf16(jax8):
     """bf16 params through the pipe mesh (the train CLI default). Regression:
     partial-manual shard_map lowers pipe-axis psums with a copy-rooted HLO
@@ -121,6 +122,7 @@ def test_pipeline_train_step_bf16(jax8):
                                rtol=2e-2)
 
 
+@pytest.mark.slow  # heavy 8-dev CPU-mesh train-step compile; geometry re-certified every round by dryrun_multichip's pipeline/gpipe check
 def test_pipeline_train_step_matches_unpipelined(jax8):
     """Full VLM training step (loss + one update) under a pipe mesh equals
     the single-device step."""

@@ -114,6 +114,7 @@ def test_fused_ring_multi_qblock_and_batch():
     _masked_compare(got, _dense_ref(q, k, v, seg), seg)
 
 
+@pytest.mark.slow  # heavy fused-ring bwd interpret run; ring bwd parity stays default in test_ring_attention.py and the pallas-interpret dryrun check
 def test_fused_ring_backward_matches_dense():
     q, k, v, seg = _inputs(seed=2)
 

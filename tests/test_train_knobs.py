@@ -80,12 +80,17 @@ def _tiny_vlm():
                       num_key_value_heads=2))
 
 
+# one vision-freeze + one llm-freeze spec stay in the default tier; the
+# other two combinations ride the slow tier (each param is a full
+# train-step compile; the masking logic is shared across specs)
 @pytest.mark.parametrize("spec,frozen_prefixes,trainable_probe", [
     (dict(freeze_backbone=True), ["vision/"], "llm/layers/wqkv_kernel"),
     (dict(freeze_llm=True), ["llm/"], "vision/layers/qkv_kernel"),
-    (dict(freeze_mlp=True), ["mlp1/"], "llm/layers/wqkv_kernel"),
-    (dict(freeze_llm=True, unfreeze_lm_head=True), ["llm/layers/"],
-     "llm/output_kernel"),
+    pytest.param(dict(freeze_mlp=True), ["mlp1/"],
+                 "llm/layers/wqkv_kernel", marks=pytest.mark.slow),
+    pytest.param(dict(freeze_llm=True, unfreeze_lm_head=True),
+                 ["llm/layers/"], "llm/output_kernel",
+                 marks=pytest.mark.slow),
 ])
 def test_freeze_flags_zero_updates(spec, frozen_prefixes, trainable_probe):
     cfg = _tiny_vlm()
@@ -145,6 +150,7 @@ def test_unfreeze_vit_layers_partial():
     assert not np.array_equal(qkv0[1], qkv2[1])       # layer 1 trains
 
 
+@pytest.mark.slow  # heavy train-step compile; drop-path math is unit-covered in test_intern_vit.py
 def test_drop_path_through_train_step():
     """A full train step with drop_path_rate>0 + rng runs and yields a
     different loss than the deterministic step (rate high enough to bite)."""

@@ -378,7 +378,10 @@ def _fwd_dispatch(statics: AttnStatics, q, k, v, seg_q, seg_k, pos_q, pos_k,
             causal=statics.causal, scale=statics.scale,
             block_q=statics.block_q, block_k=statics.block_k,
             ordered=statics.ordered, interpret=statics.interpret,
-            rope_q=rope_q, rope_k=rope_k, rope_theta=statics.rope_theta)
+            rope_q=rope_q, rope_k=rope_k, rope_theta=statics.rope_theta,
+            # experiment gate (docs/perf_analysis.md): fp32 (parity,
+            # default) | bf16qk | bf16all — forward matmul operand dtypes
+            precision=os.environ.get("V2PE_FLASH_PRECISION", "fp32"))
     if statics.rope_theta:
         q, k = _apply_rope_jnp(q, k, rope_q, rope_k, statics.rope_theta)
     if q.shape[0] == 1:

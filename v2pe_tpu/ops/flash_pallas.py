@@ -69,7 +69,17 @@ def _kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
             *refs,
             causal: bool, ordered: bool, scale: float,
             block_q: int, block_k: int, num_k_blocks: int,
-            rope_theta: float, has_rope_k: bool):
+            rope_theta: float, has_rope_k: bool, precision: str):
+    # precision experiment (docs/perf_analysis.md "softmax-bound
+    # alternatives"): 'fp32' is the parity kernel; 'bf16qk' feeds the QK^T
+    # matmul bf16 operands; 'bf16all' additionally rounds the exp'd
+    # probabilities to bf16 for the P.V matmul (a genuine-fp32 operand XLA
+    # cannot demote); 'bf16exp' additionally evaluates exp itself on a
+    # bf16 argument (halved-width VPU transcendental). Softmax state
+    # (m, l, acc) stays fp32 in every mode.
+    bf16_qk = precision in ("bf16qk", "bf16all", "bf16exp")
+    bf16_pv = precision in ("bf16all", "bf16exp")
+    bf16_exp = precision == "bf16exp"
     if rope_theta and has_rope_k:
         (ropeq_ref, ropek_ref, q_ref, k_ref, v_ref, out_ref, lse_ref,
          acc_ref, m_ref, l_ref, qrot_ref) = refs
@@ -92,7 +102,8 @@ def _kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
             # rotate q ONCE per q block; the scratch copy rides the kv sweep
             qf = q_ref[0, 0].astype(jnp.float32)
             rq = jnp.swapaxes(ropeq_ref[0], 0, 1)      # (bq, 1)
-            qrot_ref[...] = _rope_block(qf, rq, rope_theta) * scale
+            qs = _rope_block(qf, rq, rope_theta) * scale
+            qrot_ref[...] = qs.astype(qrot_ref.dtype)
 
     # Static-shape causal block skip (only valid when positions are arange).
     if causal and ordered:
@@ -102,15 +113,19 @@ def _kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
 
     @pl.when(run)
     def _compute():
+        mm_dtype = jnp.bfloat16 if bf16_qk else jnp.float32
         if rope_theta:
             q = qrot_ref[...]                            # (bq, D) pre-scaled
             k = k_ref[0, 0].astype(jnp.float32)
             if has_rope_k:
                 rk = jnp.swapaxes(ropek_ref[0], 0, 1)    # (bk, 1)
                 k = _rope_block(k, rk, rope_theta)
+            k = k.astype(mm_dtype)
         else:
-            q = q_ref[0, 0].astype(jnp.float32) * scale  # (bq, D)
-            k = k_ref[0, 0].astype(jnp.float32)          # (bk, D)
+            # scale in fp32, round once: equivalent error to rounding q
+            # then scaling (constant multiply), one (bq, D) pass
+            q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(mm_dtype)
+            k = k_ref[0, 0].astype(mm_dtype)             # (bk, D)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)       # (bq, bk)
@@ -136,7 +151,8 @@ def _kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
 
         m_prev = m_ref[:, :1]                          # (bq, 1)
         l_prev = l_ref[:, :1]
-        v = v_ref[0, 0].astype(jnp.float32)            # (bk, D)
+        v = v_ref[0, 0].astype(
+            jnp.bfloat16 if bf16_pv else jnp.float32)  # (bk, D)
 
         def _update(sm):
             # m_new is clamped above NEG_INF/2, so masked scores (NEG_INF)
@@ -146,10 +162,20 @@ def _kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
             m_new = jnp.maximum(jnp.maximum(
                 m_prev, jnp.max(sm, axis=-1, keepdims=True)), NEG_INF / 2)
             corr = jnp.exp(m_prev - m_new)
-            e = jnp.exp(sm - m_new)                    # (bq, bk)
-            l_new = l_prev * corr + jnp.sum(e, axis=-1, keepdims=True)
+            if bf16_exp:
+                e = jnp.exp((sm - m_new).astype(jnp.bfloat16))  # (bq, bk)
+                esum = jnp.sum(e.astype(jnp.float32), axis=-1,
+                               keepdims=True)
+            else:
+                e = jnp.exp(sm - m_new)                # (bq, bk)
+                esum = jnp.sum(e, axis=-1, keepdims=True)
+            # l sums e at fp32 even when the P.V operand is the bf16
+            # rounding, so the normalizer stays exact w.r.t. the weights
+            l_new = l_prev * corr + esum
             pv = jax.lax.dot_general(
-                e, v, (((1,), (0,)), ((), ())),
+                e if bf16_exp else
+                (e.astype(jnp.bfloat16) if bf16_pv else e),
+                v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)    # (bq, D)
             acc_ref[...] = acc_ref[...] * corr + pv
             m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
@@ -219,6 +245,7 @@ def flash_attention_fwd_pallas(
     rope_q=None,
     rope_k=None,
     rope_theta: float = 0.0,
+    precision: str = "fp32",
 ):
     """Forward flash attention. Layout/contract matches attention.py:
     q (B,Sq,Hq,D), k/v (B,Sk,Hkv,D) -> out (B,Sq,Hq,D), lse (B,Hq,Sq) fp32.
@@ -276,7 +303,8 @@ def flash_attention_fwd_pallas(
     kernel = functools.partial(
         _kernel, causal=causal, ordered=ordered, scale=scale,
         block_q=bq, block_k=bk, num_k_blocks=nk,
-        rope_theta=float(rope_theta), has_rope_k=rope_k is not None)
+        rope_theta=float(rope_theta), has_rope_k=rope_k is not None,
+        precision=precision)
 
     operands = [seg_q, seg_k, pos_q, pos_k]
     in_specs = [
@@ -298,7 +326,10 @@ def flash_attention_fwd_pallas(
             ropek = padax(rope_k.astype(jnp.float32), 1, Sk_p)[:, None, :]
             operands += [ropek]
             in_specs += [pl.BlockSpec((1, 1, bk), kv_vec_index)]
-        scratch.append(pltpu.VMEM((bq, D), jnp.float32))  # rotated q
+        scratch.append(pltpu.VMEM(
+            (bq, D),
+            jnp.float32 if precision == "fp32"
+            else jnp.bfloat16))  # rotated pre-scaled q
     operands += [qt, kt, vt]
     in_specs += [
         pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
