@@ -79,6 +79,47 @@ def test_scan_slices_quantized_layers():
                                rtol=1e-6)
 
 
+def test_stacked_kernel_matches_per_layer_dot():
+    """The scalar-prefetch stacked kernel (the decode scan's no-copy path)
+    reproduces per-layer ``quantized_dot`` exactly, for every layer index
+    and under jit with a traced index."""
+    from v2pe_tpu.ops.quantized_matmul import (StackedQuantizedRef,
+                                               quantized_dot_stacked)
+
+    w = jax.random.normal(jax.random.PRNGKey(6), (4, 128, 200)) * 0.1
+    qw = quantize_weight(w)  # stacked (4, 128, 256) int8, n_out=200
+    x = jax.random.normal(jax.random.PRNGKey(7), (3, 128), jnp.bfloat16)
+
+    per_layer = jax.lax.scan(
+        lambda _, lp: (None, quantized_dot(x, lp, jnp.float32)),
+        None, qw)[1]
+
+    @jax.jit
+    def stacked(li):
+        return quantized_dot_stacked(x, StackedQuantizedRef(qw, li),
+                                     jnp.float32)
+
+    for li in range(4):
+        np.testing.assert_array_equal(np.asarray(stacked(jnp.int32(li))),
+                                      np.asarray(per_layer[li]))
+
+
+def test_split_stacked_quantized_roundtrip():
+    from v2pe_tpu.ops.quantized_matmul import split_stacked_quantized
+
+    layers = {"wqkv_kernel": quantize_weight(
+                  jnp.ones((2, 16, 128), jnp.float32)),
+              "attention_norm": jnp.ones((2, 16))}
+    rest, quant = split_stacked_quantized(layers)
+    assert set(rest) == {"attention_norm"}
+    assert set(quant) == {"wqkv_kernel"}
+    # unquantized dicts pass through untouched (no extra dict churn in
+    # the training scan)
+    plain = {"attention_norm": jnp.ones((2, 16))}
+    rest2, quant2 = split_stacked_quantized(plain)
+    assert rest2 is plain and quant2 is None
+
+
 @pytest.fixture(scope="module")
 def tiny_llm():
     cfg = LLMConfig(vocab_size=250, hidden_size=64, intermediate_size=96,

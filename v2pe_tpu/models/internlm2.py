@@ -26,7 +26,11 @@ import jax.numpy as jnp
 from v2pe_tpu.core.config import LLMConfig
 from v2pe_tpu.ops.attention import flash_attention
 from v2pe_tpu.ops.norms import rms_norm
-from v2pe_tpu.ops.quantized_matmul import QuantizedWeight, quantized_dot
+from v2pe_tpu.ops.quantized_matmul import (QuantizedWeight,
+                                           StackedQuantizedRef,
+                                           quantized_dot,
+                                           quantized_dot_stacked,
+                                           split_stacked_quantized)
 from v2pe_tpu.ops.rope import apply_rotary, compute_rope_cos_sin
 
 
@@ -100,10 +104,23 @@ def split_wqkv(qkv: jnp.ndarray, cfg: LLMConfig):
 
 
 def _dot(x, w, dtype=None):
+    if isinstance(w, StackedQuantizedRef):  # layer-indexed stacked int8
+        return quantized_dot_stacked(x, w, dtype or x.dtype)
     if isinstance(w, QuantizedWeight):  # int8 weight-only serving path
         return quantized_dot(x, w, dtype or x.dtype)
     return jnp.dot(x, w, preferred_element_type=jnp.float32
                    ).astype(dtype or x.dtype)
+
+
+def _layer_view(lp: dict, quant, li):
+    """Merge per-layer stacked-quantized views into a scanned layer dict
+    (see ``split_stacked_quantized``); no-op when the model is unquantized."""
+    if quant is None:
+        return lp
+    lp = dict(lp)
+    for n, w in quant.items():
+        lp[n] = StackedQuantizedRef(w, li)
+    return lp
 
 
 def head_logits(x, output_kernel) -> jnp.ndarray:
@@ -541,6 +558,11 @@ def llm_forward(
     rope_pack = (scaled_pos, float(theta)) \
         if isinstance(theta, (int, float)) else None
 
+    # layer-stacked int8 weights stay OUT of the scans below: sliced per
+    # layer they'd be HBM-copied before each Pallas matmul; the stacked
+    # scalar-prefetch kernel reads them in place (quantized_matmul.py)
+    layers_rest, layers_quant = split_stacked_quantized(params["layers"])
+
     if paged_cache is not None and S == 1:
         # decode: pools ride the scan carry; the kernel persists each
         # layer's fresh k/v in place (input_output_aliases) while
@@ -551,7 +573,8 @@ def llm_forward(
         def scan_body(carry, lp):
             x, kp, vp, ksc, vsc, li = carry
             x, (kp, vp, ks, vs) = layer_forward(
-                lp, cfg, x, cos, sin, segment_ids=segment_ids,
+                _layer_view(lp, layers_quant, li), cfg, x, cos, sin,
+                segment_ids=segment_ids,
                 positions=positions, attn_impl=attn_impl,
                 paged=(paged_cache, li, kp, vp,
                        ksc if quant else None, vsc if quant else None))
@@ -565,7 +588,7 @@ def llm_forward(
             (x, paged_cache.k_pages, paged_cache.v_pages,
              paged_cache.k_scales if quant else zero,
              paged_cache.v_scales if quant else zero, jnp.int32(0)),
-            params["layers"])
+            layers_rest)
         new_cache = paged_cache._replace(k_pages=kp, v_pages=vp)
         if quant:
             new_cache = new_cache._replace(k_scales=ksc, v_scales=vsc)
@@ -578,13 +601,14 @@ def llm_forward(
         def scan_body(carry, lp):
             x, li = carry
             x, (k_new, v_new) = layer_forward(
-                lp, cfg, x, cos, sin, segment_ids=segment_ids,
+                _layer_view(lp, layers_quant, li), cfg, x, cos, sin,
+                segment_ids=segment_ids,
                 positions=positions, attn_impl=attn_impl,
                 paged=(paged_cache, li))
             return (x, li + 1), (k_new, v_new)
 
         (x, _), (ks, vs) = jax.lax.scan(
-            scan_body, (x, jnp.int32(0)), params["layers"])
+            scan_body, (x, jnp.int32(0)), layers_rest)
         from v2pe_tpu.infer import paged_kv as _pk
 
         valid_t = None if segment_ids is None else \
@@ -632,7 +656,8 @@ def llm_forward(
                 vs5 = sl(vsc, (1, Hkv, NP, 1, ps)) if quant else None
                 slices = (k5, v5, ks5, vs5)
             x, (k_new, v_new) = layer_forward(
-                lp, cfg, x, cos, sin, segment_ids=segment_ids,
+                _layer_view(lp, layers_quant, li), cfg, x, cos, sin,
+                segment_ids=segment_ids,
                 positions=positions, attn_impl=attn_impl,
                 paged=(paged_cache, li, slices))
             if quant:
@@ -664,7 +689,7 @@ def llm_forward(
             if quant else zero
         (x, kp, vp, ksc, vsc, _), _ = jax.lax.scan(
             scan_body, (x, flat_k, flat_v, flat_ks, flat_vs, jnp.int32(0)),
-            params["layers"])
+            layers_rest)
         new_cache = paged_cache._replace(
             k_pages=kp.reshape(paged_cache.k_pages.shape),
             v_pages=vp.reshape(paged_cache.v_pages.shape))
@@ -688,8 +713,11 @@ def llm_forward(
                 remat=remat)
             new_cache = None
         else:
-            def run_layer(lp, x):
-                out, _ = layer_forward(lp, cfg, x, cos, sin,
+            def run_layer(lp, x, li):
+                # the quantized view is built INSIDE so only pytrees cross
+                # the jax.checkpoint boundary
+                out, _ = layer_forward(_layer_view(lp, layers_quant, li),
+                                       cfg, x, cos, sin,
                                        segment_ids=segment_ids,
                                        positions=positions,
                                        attn_impl=attn_impl,
@@ -699,10 +727,12 @@ def llm_forward(
             if remat:
                 run_layer = jax.checkpoint(run_layer)
 
-            def scan_body(x, lp):
-                return run_layer(lp, x), None
+            def scan_body(carry, lp):
+                x, li = carry
+                return (run_layer(lp, x, li), li + 1), None
 
-            x, _ = jax.lax.scan(scan_body, x, params["layers"])
+            (x, _), _ = jax.lax.scan(scan_body, (x, jnp.int32(0)),
+                                     layers_rest)
             new_cache = None
     else:
         # the whole (L, B, max_len, Hkv, hd) cache rides the scan CARRY and
@@ -712,7 +742,8 @@ def llm_forward(
         def scan_body(carry, lp):
             x, kc, vc, li = carry
             x, (kb, vb) = layer_forward(
-                lp, cfg, x, cos, sin, segment_ids=segment_ids,
+                _layer_view(lp, layers_quant, li), cfg, x, cos, sin,
+                segment_ids=segment_ids,
                 positions=positions, attn_impl=attn_impl,
                 kv_cache_layer=(
                     jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False),
@@ -730,7 +761,7 @@ def llm_forward(
 
         (x, k_new, v_new, _), _ = jax.lax.scan(
             scan_body, (x, kv_cache.k, kv_cache.v, jnp.int32(0)),
-            params["layers"])
+            layers_rest)
         new_cache = KVCache(k_new, v_new, kv_cache.length + S)
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)

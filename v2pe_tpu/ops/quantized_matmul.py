@@ -98,6 +98,44 @@ def quantize_llm_params(llm: dict) -> dict:
     return out
 
 
+class StackedQuantizedRef:
+    """Tracing-time view of ONE layer of a layer-stacked ``QuantizedWeight``.
+
+    The decode scan must not slice a stacked ``(L, D, N)`` int8 payload per
+    layer: a Pallas call's operands are materialized, so the dynamic-slice
+    becomes a real HBM copy that the dense path never pays (XLA fuses the
+    slice into ``jnp.dot``; measured: the sliced int8 scan streams ~355 GB/s
+    vs ~457 GB/s for the stacked kernel on v5e). Instead the layer loop keeps
+    the stacked array whole and passes ``(weights, layer_index)`` down to the
+    matmul, where a scalar-prefetch ``index_map`` selects the layer's blocks
+    directly out of HBM — read exactly once, no copy.
+
+    Not a pytree: instances exist only inside a trace (built per scan step),
+    never in stored param trees.
+    """
+
+    __slots__ = ("qw", "li")
+
+    def __init__(self, qw: QuantizedWeight, li):
+        assert qw.q.ndim == 3, "expects a layer-stacked (L, D, N) weight"
+        self.qw = qw
+        self.li = li
+
+
+def split_stacked_quantized(layers: dict):
+    """Split layer-stacked ``QuantizedWeight`` leaves out of a layer dict.
+
+    Returns ``(rest, quant)`` where ``rest`` scans normally and ``quant``
+    (or None) maps name -> stacked QuantizedWeight for per-layer
+    ``StackedQuantizedRef`` views."""
+    quant = {n: w for n, w in layers.items()
+             if isinstance(w, QuantizedWeight)}
+    if not quant:
+        return layers, None
+    rest = {n: w for n, w in layers.items() if n not in quant}
+    return rest, quant
+
+
 def _qdot_kernel(x_ref, q_ref, s_ref, o_ref):
     xb = x_ref[...]
     wb = q_ref[...].astype(jnp.bfloat16)
@@ -148,6 +186,74 @@ def _qdot_2d(x, q, scale, n_out: int, interpret: bool):
             vmem_limit_bytes=32 * 1024 * 1024),
     )(x, q, scale)
     return out[:M, :n_out]
+
+
+def _qdot_stacked_kernel(li_ref, x_ref, q_ref, s_ref, o_ref):
+    del li_ref  # consumed by the index_maps
+    acc = jnp.dot(x_ref[...].astype(jnp.bfloat16),
+                  q_ref[0].astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    o_ref[...] = acc * s_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("n_out", "interpret"))
+def _qdot_2d_stacked(x, q, scale, li, n_out: int, interpret: bool):
+    """``dot(x, dequant(q[li]))`` over a layer-stacked ``(L, D, Npad)`` int8
+    payload. The layer index rides scalar prefetch and the ``index_map``
+    gathers the layer's blocks straight from the stacked HBM array — unlike
+    ``dynamic_slice`` + ``_qdot_2d``, nothing is copied first."""
+    M, D = x.shape
+    Npad = q.shape[-1]
+    bm, bn = _pick_bm(M, D), _pick_bn(D, Npad)
+    pad_m = (-M) % bm
+    if pad_m:
+        x = jnp.pad(x, ((0, pad_m), (0, 0)))
+    out = pl.pallas_call(
+        _qdot_stacked_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=((M + pad_m) // bm, Npad // bn),
+            in_specs=[
+                pl.BlockSpec((bm, D), lambda i, j, li: (i, 0)),
+                pl.BlockSpec((1, D, bn), lambda i, j, li: (li[0], 0, j)),
+                pl.BlockSpec((1, 1, bn), lambda i, j, li: (li[0], 0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, li: (i, j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((M + pad_m, Npad), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(jnp.reshape(li, (1,)).astype(jnp.int32), x, q, scale)
+    return out[:M, :n_out]
+
+
+def quantized_dot_stacked(x: jnp.ndarray, ref: StackedQuantizedRef,
+                          out_dtype=None) -> jnp.ndarray:
+    """Layer-indexed ``quantized_dot`` over a stacked weight (see
+    ``StackedQuantizedRef``). Same numerics as ``quantized_dot`` (bf16 dot,
+    fp32 accum, scale after the contraction)."""
+    w, li = ref.qw, ref.li
+    out_dtype = out_dtype or x.dtype
+    lead = x.shape[:-1]
+    D = x.shape[-1]
+    from v2pe_tpu.parallel import context as pctx
+
+    if pctx.current() is not None:
+        # pjit-partitionable fallback — identical to today's scan-sliced
+        # behavior (the slice is what pjit can partition)
+        q = jax.lax.dynamic_index_in_dim(w.q, li, 0, keepdims=False)
+        s = jax.lax.dynamic_index_in_dim(w.scale, li, 0, keepdims=False)
+        deq = jnp.dot(x.reshape(-1, D).astype(jnp.bfloat16),
+                      q.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32) * s
+        out = deq[..., :w.n_out]
+    else:
+        interpret = jax.default_backend() != "tpu"
+        out = _qdot_2d_stacked(x.reshape(-1, D), w.q, w.scale, li,
+                               w.n_out, interpret)
+    return out.reshape(*lead, w.n_out).astype(out_dtype)
 
 
 def quantized_dot(x: jnp.ndarray, w: QuantizedWeight,
