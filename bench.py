@@ -216,6 +216,32 @@ def _kernel_tflops(jax, jnp, cfg):
     flops = 2 * 2 * (S * S / 2) * D * Hq
     out["kernel_llm_flash_8k_tflops"] = round(flops / dt / 1e12, 1)
 
+    # Train-side kernel: fwd + analytic flash backward (flash_pallas_bwd).
+    # grad wrt (q, k, v) runs the full dq/dk/dv kernel; the acc feedback
+    # serializes iterations. 7 matmul-equivalents: 2 fwd under grad + 5
+    # bwd (QK^T recompute, dV, dP, dQ, dK).
+    @jax.jit
+    def llm_bwd_loop(q, k, v):
+        def body(i, acc):
+            def f(args):
+                qq, kk, vv = args
+                o = flash_attention(qq + acc * 1e-12, kk, vv, causal=True,
+                                    impl="pallas")
+                return o.astype(jnp.float32).sum()
+
+            gq, gk, gv = jax.grad(f)((q, k, v))
+            return (gq[0, -1, 0, 0] + gk[0, 0, 0, 0]
+                    + gv[0, 0, 0, 0]).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
+
+    float(llm_bwd_loop(q, k, v))
+    t0 = time.perf_counter()
+    float(llm_bwd_loop(q, k, v))
+    dt = (time.perf_counter() - t0 - RTT) / ITERS
+    flops = 7 * 2 * (S * S / 2) * D * Hq
+    out["kernel_llm_flash_8k_fwdbwd_tflops"] = round(flops / dt / 1e12, 1)
+
     vcfg = cfg.vision
     T, Hv, Dv = 1025, vcfg.num_attention_heads, \
         vcfg.hidden_size // vcfg.num_attention_heads
@@ -723,7 +749,7 @@ def main():
     def kernels():
         ex.update(_kernel_tflops(jax, jnp, cfg))
 
-    em.run("kernel_tflops", 120, kernels)
+    em.run("kernel_tflops", 200, kernels)
 
     def ttft_short():
         tp8, _ = _ttft_prefill(jax, jnp, cfg, params, batch8k,
@@ -829,6 +855,11 @@ def main():
     dp("decode_tok_s_128k_paged_w8kv8", 120,
        lambda: _decode_bench(jax, jnp, cfg, qparams, 131072, paged=True,
                              kv_dtype="int8"))
+    # batched serving with quantized weights: 8 rows amortize the halved
+    # weight read — the continuous-batching + w8 deployment point
+    dp("decode_tok_s_8k_paged_b8_w8", 90,
+       lambda: _decode_bench(jax, jnp, cfg, qparams, 8192, paged=True,
+                             batch=8))
 
     # the BASELINE.json north-star context: 256k decode on ONE chip.
     # w8 weights (~2.2 GB) + int8 KV (~12.8 GB incl. scales) fits 16 GB

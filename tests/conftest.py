@@ -19,6 +19,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", _platform)
 
+# Persistent XLA compilation cache: the suite's wall clock is dominated by
+# single-core XLA-CPU compiles, and the cache works for the CPU backend
+# (measured: repeat compile+run 1.49s -> 0.44s). First (cold) run pays full
+# price; every per-commit rerun hits the cache. V2PE_TEST_NO_CACHE=1 opts out.
+if not os.environ.get("V2PE_TEST_NO_CACHE"):
+    _cache_dir = os.environ.get(
+        "V2PE_TEST_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     ".cache", "xla_pytest"),
+    )
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pytest  # noqa: E402
 
 

@@ -64,7 +64,11 @@ def _run_ours(cfg, params, ids, gc):
         pos, dummy_px, jnp.zeros((1,), jnp.int32), 499, attn_impl="jnp")
 
 
-@pytest.mark.parametrize("num_beams,lp", [(3, 1.0), (2, 0.6), (4, 2.0)])
+@pytest.mark.parametrize("num_beams,lp", [
+    (3, 1.0),
+    pytest.param(2, 0.6, marks=pytest.mark.slow),  # one HF-parity point default (torch builder, VERDICT r3 #8)
+    pytest.param(4, 2.0, marks=pytest.mark.slow),
+])
 def test_beam_matches_hf(qwen2_vlm, num_beams, lp):
     """Multi-seed sweep per config (same shapes -> one compile each; an
     earlier prompt+generated length normalization passed single-seed

@@ -19,6 +19,7 @@ def test_compress_avg():
     np.testing.assert_allclose(out[0, 0], x[0, :4].mean(0), rtol=1e-6)
 
 
+@pytest.mark.slow  # forward smoke subsumed by test_compress_gradients_flow (runs the same forward) + the compress-seq dryrun check every round
 def test_compress_forward_runs_and_differs_from_gamma_zero():
     cfg = debug_tiny(vocab_size=300).llm
     params = init_llm_params(jax.random.PRNGKey(0), cfg)

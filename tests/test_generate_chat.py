@@ -71,6 +71,7 @@ def test_greedy_generate_matches_teacher_forced():
         cur_pos = np.append(cur_pos, cur_pos[-1] + 1.0).astype(np.float32)
 
 
+@pytest.mark.slow  # ragged batched-vs-single parity stays default via test_evalkit_general_e2e.py::test_pope_engine_batched_matches_sequential and engine admission tests
 def test_ragged_batch_prompts_match_single():
     """Right-padded batched prompts must decode like single prompts."""
     cfg = _cfg(vocab=300)

@@ -221,6 +221,7 @@ def test_chat_model_weights_dtype_knob(chat_model_q):
     assert isinstance(txt, str)
 
 
+@pytest.mark.slow  # heavy decode-loop compile; session parity stays default via test_session.py, w8 numerics via the agree tests above
 def test_session_quantized_matches_stateless(chat_model_q):
     """ChatSession over quantized weights == stateless quantized chat."""
     from v2pe_tpu.infer.session import ChatSession
@@ -234,6 +235,7 @@ def test_session_quantized_matches_stateless(chat_model_q):
     assert sess.send(None, "More?", gc) == r2_ref
 
 
+@pytest.mark.slow  # heavy batched-decode compile; w8 numerics stay default via the dense/paged/kv8 agree tests above, engine parity via test_engine.py defaults
 def test_engine_quantized_matches_generate(chat_model_q):
     """The continuous-batching engine over int8 weights reproduces the
     one-shot quantized generate stream per request."""
@@ -281,6 +283,166 @@ def test_quantized_param_sharding_specs():
     assert wq.scale.spec[-1] == "tensor"
     head = shardings["llm"]["output_kernel"]
     assert head.q.spec == jax.sharding.PartitionSpec("fsdp", "tensor")
+
+
+# ---------------------------------------------------------------------------
+# int4 (group-128 symmetric, nibble-packed) — the 4x weight-bandwidth tier
+# ---------------------------------------------------------------------------
+
+def test_int4_roundtrip_error_bound():
+    """Dequant error per element is bounded by half the group step size
+    (f32 reconstruction; the serving-path ``_dequant_int4_jnp`` additionally
+    rounds to bf16)."""
+    from v2pe_tpu.ops.quantized_matmul import (_unpack_nibbles,
+                                               quantize_weight_int4)
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (256, 192)) * 0.1
+    qw = quantize_weight_int4(w, group_size=64)
+    assert qw.group_size == 64 and qw.p.shape == (128, 256)  # lane-padded
+    lo, hi = _unpack_nibbles(qw.p)
+    q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)
+    deq = (q.reshape(4, 64, -1) * qw.scale[:, None, :]).reshape(256, -1)
+    step = jnp.repeat(qw.scale[:, :qw.n_out], 64, axis=0)
+    assert float(jnp.max(jnp.abs(deq[:, :qw.n_out] - w) / step)) \
+        <= 0.5 + 1e-6
+
+
+def test_int4_group_size_adapts_to_small_dims():
+    from v2pe_tpu.ops.quantized_matmul import quantize_weight_int4
+
+    qw = quantize_weight_int4(jnp.ones((64, 128)), group_size=128)
+    assert qw.group_size == 32  # gcd(128, 64/2)
+    with pytest.raises(ValueError):
+        quantize_weight_int4(jnp.ones((63, 128)))
+
+
+def test_int4_odd_width_padded_and_sliced():
+    from v2pe_tpu.ops.quantized_matmul import quantize_weight_int4
+
+    w = jax.random.normal(jax.random.PRNGKey(1), (256, 93)) * 0.05
+    qw = quantize_weight_int4(w)
+    assert qw.p.shape == (128, 128) and qw.n_out == 93
+    x = jax.random.normal(jax.random.PRNGKey(2), (5, 256), jnp.bfloat16)
+    out = quantized_dot(x, qw)
+    assert out.shape == (5, 93)
+    ref = jnp.dot(x.astype(jnp.float32), w)
+    # int4 group noise ~ step/2 * sqrt(D): a loose sanity bound only —
+    # kernel-exactness vs the dequant reference is the test below
+    assert float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref))) < 0.8
+
+
+def test_int4_kernel_matches_jnp_fallback():
+    """Interpret-mode Pallas int4 == the sharded-path jnp dequant dot."""
+    from v2pe_tpu.ops.quantized_matmul import (_dequant_int4_jnp,
+                                               quantize_weight_int4)
+
+    w = jax.random.normal(jax.random.PRNGKey(3), (512, 384)) * 0.2
+    qw = quantize_weight_int4(w)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 9, 512), jnp.bfloat16)
+    # compare f32 accumulators: the kernel sums two half-depth dots, so
+    # the accumulation order differs from the single jnp dot by ~1 ulp
+    out_kernel = quantized_dot(x, qw, jnp.float32)
+    deq = jnp.dot(x.reshape(-1, 512).astype(jnp.bfloat16),
+                  _dequant_int4_jnp(qw),
+                  preferred_element_type=jnp.float32)
+    out_jnp = deq[:, :qw.n_out].reshape(2, 9, -1)
+    np.testing.assert_allclose(np.asarray(out_kernel), np.asarray(out_jnp),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_int4_stacked_kernel_matches_per_layer_dot():
+    from v2pe_tpu.ops.quantized_matmul import (Int4Weight,
+                                               StackedQuantizedRef,
+                                               quantize_weight_int4,
+                                               quantized_dot_stacked)
+
+    w = jax.random.normal(jax.random.PRNGKey(6), (4, 256, 200)) * 0.1
+    qw = quantize_weight_int4(w)
+    x = jax.random.normal(jax.random.PRNGKey(7), (3, 256), jnp.bfloat16)
+
+    @jax.jit
+    def stacked(li):
+        return quantized_dot_stacked(x, StackedQuantizedRef(qw, li),
+                                     jnp.float32)
+
+    for li in range(4):
+        per_layer = quantized_dot(
+            x, Int4Weight(qw.p[li], qw.scale[li], qw.n_out, qw.group_size),
+            jnp.float32)
+        np.testing.assert_array_equal(np.asarray(stacked(jnp.int32(li))),
+                                      np.asarray(per_layer))
+
+
+def test_llm_forward_int4_close(tiny_llm):
+    cfg, params = tiny_llm
+    ids = jnp.asarray(
+        np.random.RandomState(0).randint(0, 250, size=(1, 24)))
+    full, _ = internlm2.llm_forward(params, cfg, input_ids=ids,
+                                    attn_impl="jnp")
+    quant, _ = internlm2.llm_forward(quantize_llm_params(params, bits=4),
+                                     cfg, input_ids=ids, attn_impl="jnp")
+    scale = float(jnp.max(jnp.abs(full)))
+    assert float(jnp.max(jnp.abs(quant - full))) < 0.15 * max(scale, 1.0)
+    agree = jnp.mean((jnp.argmax(quant, -1) == jnp.argmax(full, -1))
+                     .astype(jnp.float32))
+    assert float(agree) > 0.75
+
+
+def test_int4_generate_dense_paged_agree(tiny_llm):
+    cfg, params = tiny_llm
+    qp = quantize_llm_params(params, bits=4)
+    dense, lens_d = _decode_tokens(qp, cfg, "dense")
+    paged, lens_p = _decode_tokens(qp, cfg, "paged")
+    np.testing.assert_array_equal(dense, paged)
+    np.testing.assert_array_equal(lens_d, lens_p)
+
+
+def test_quantize_idempotent_mixed_bits(tiny_llm):
+    """bits=4 over an int8-quantized dict leaves the int8 leaves alone
+    (already-quantized weights never re-quantize)."""
+    from v2pe_tpu.ops.quantized_matmul import Int4Weight
+
+    _, params = tiny_llm
+    q8 = quantize_llm_params(params)
+    q4_over_q8 = quantize_llm_params(q8, bits=4)
+    assert q4_over_q8["layers"]["wqkv_kernel"] is q8["layers"]["wqkv_kernel"]
+    q4 = quantize_llm_params(params, bits=4)
+    assert isinstance(q4["output_kernel"], Int4Weight)
+    assert quantize_llm_params(q4, bits=4)["output_kernel"] \
+        is q4["output_kernel"]
+
+
+def test_chat_model_int4_knob(chat_model_q):
+    from v2pe_tpu.ops.quantized_matmul import Int4Weight
+
+    full, _ = chat_model_q
+    quant4 = ChatModel(full.params, full.cfg, full.tokenizer,
+                       attn_impl="jnp", weights_dtype="int4")
+    assert isinstance(quant4.params["llm"]["output_kernel"], Int4Weight)
+    txt = quant4.chat(None, "Hello", GenerationConfig(max_new_tokens=4))
+    assert isinstance(txt, str)
+
+
+def test_int4_param_sharding_specs():
+    """Int4Weight children map like the kernel they replace (p on the
+    kernel spec, group scales on the output dim only)."""
+    from jax.sharding import Mesh
+    from v2pe_tpu.ops.quantized_matmul import Int4Weight  # noqa: F401
+    from v2pe_tpu.parallel.mesh import param_sharding
+
+    devs = np.array(jax.devices()[:8]).reshape(1, 2, 2, 2)
+    mesh = Mesh(devs, ("data", "fsdp", "seq", "tensor"))
+    cfg = LLMConfig(vocab_size=256, hidden_size=64, intermediate_size=128,
+                    num_hidden_layers=2, num_attention_heads=4,
+                    num_key_value_heads=2)
+    qp = {"llm": quantize_llm_params(
+        init_llm_params(jax.random.PRNGKey(0), cfg), bits=4)}
+    shardings = param_sharding(qp, mesh)
+    wq = shardings["llm"]["layers"]["wqkv_kernel"]
+    assert wq.p.spec == jax.sharding.PartitionSpec(None, "fsdp", "tensor")
+    assert wq.scale.spec[-1] == "tensor"
+    head = shardings["llm"]["output_kernel"]
+    assert head.p.spec == jax.sharding.PartitionSpec("fsdp", "tensor")
 
 
 def test_engine_quantized_seq_sharded_token_exact(chat_model_q):

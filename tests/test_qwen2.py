@@ -93,6 +93,7 @@ def test_qwen2_packed_segments_match_separate(qwen2_pair):
                                    np.asarray(out_c), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow  # heavy decode-loop compile; qwen2 logit/packing parity stays default above, prefill-decode consistency via test_decode.py
 def test_qwen2_decode_matches_teacher_forced(qwen2_pair):
     """KV-cache decode (the InternLM2 cache machinery, unchanged) works for
     the qwen2 arch: token-by-token equals the full forward."""

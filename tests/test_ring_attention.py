@@ -124,7 +124,10 @@ def _run_ring_w(q, k, v, seg, pos, world, block=32):
     )(q, k, v, seg, seg, pos, pos)
 
 
-@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("seed", [
+    0,
+    pytest.param(1, marks=pytest.mark.slow),  # one seed default; the sweep is slow-tier
+])
 def test_ring_half_chunk_skip_parity(seed):
     """Zigzag half-chunk branch selection (S big enough that
     Hs >= block_q enables the 5-way lax.switch): forward AND backward must

@@ -82,6 +82,7 @@ def _masked_compare(got, ref, seg, atol=2e-5):
                                rtol=2e-5, atol=atol)
 
 
+@pytest.mark.slow  # mesh execution certified every round by the dryrun ring-fused-rdma check; kernel parity stays default via test_fused_ring_forward_matches_dense
 def test_fused_ring_smoke_4dev():
     """Smallest full-protocol check (all hops, slot forwarding, barrier,
     drain) on a 4-device ring — a fast first signal when bisecting. The

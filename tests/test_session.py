@@ -51,6 +51,7 @@ def test_session_matches_stateless_chat(chat_model):
     assert sess.consumed > 0 and len(sess.history) == 2
 
 
+@pytest.mark.slow  # heavy multi-turn decode compile; session-vs-stateless parity stays default via test_session_matches_stateless_chat, multi-turn paged reuse via test_chunked_prefill defaults
 def test_session_three_turns_two_images(chat_model):
     from PIL import Image
 

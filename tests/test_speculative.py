@@ -103,6 +103,7 @@ def test_speculative_accepts_on_copy_task(vlm):
     assert steps <= ref_steps
 
 
+@pytest.mark.slow  # stop/EOS behavior is covered default-tier by test_session_speculative_matches_plain and test_speculative_matches_greedy (token-exact incl. stream ends)
 def test_speculative_eos_counted_like_plain(vlm):
     """Force an early eos by making it the most likely token: lens must
     include the stop token and outputs beyond it stay zero-filled."""
@@ -123,6 +124,7 @@ def test_speculative_eos_counted_like_plain(vlm):
     np.testing.assert_array_equal(lens, ref_lens)
 
 
+@pytest.mark.slow  # spec parity stays default via test_session_speculative_matches_plain; w8/kv8 parity stays default via test_quantized_weights.py::test_generate_quantized_int8_kv_compose
 def test_speculative_with_int8_kv_and_weights(vlm):
     """Speculation composes with the quantized serving configs: int8 KV
     pool and int8 weights — still token-exact vs the same-config plain

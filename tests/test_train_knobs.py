@@ -122,6 +122,7 @@ def test_freeze_flags_zero_updates(spec, frozen_prefixes, trainable_probe):
     assert moved_any_trainable, f"{trainable_probe} did not train"
 
 
+@pytest.mark.slow  # vision-tower freeze masking stays default via test_freeze_flags_zero_updates[spec1]
 def test_unfreeze_vit_layers_partial():
     """freeze_backbone + unfreeze_vit_layers=-1: only the LAST ViT layer
     trains (internvl_chat_finetune.py:1398-1400)."""

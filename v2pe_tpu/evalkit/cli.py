@@ -46,7 +46,8 @@ def build_argparser():
     p.add_argument("--num-beams", type=int, default=1,
                    help="beam search width (the reference's SEED "
                         "--num-beams, evaluate_seed.py:264)")
-    p.add_argument("--weights-dtype", default=None, choices=["int8"],
+    p.add_argument("--weights-dtype", default=None,
+                   choices=["int8", "int4"],
                    help="int8: weight-only quantized serving "
                         "(ops/quantized_matmul.py)")
     p.add_argument("--rope_pos_id_version", default=None)

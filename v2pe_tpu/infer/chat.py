@@ -40,14 +40,17 @@ class ChatModel:
             from v2pe_tpu.models.lora import merge_lora
 
             params = jax.jit(merge_lora)(params, lora)
-        if weights_dtype == "int8":
-            # int8 weight-only serving (ops/quantized_matmul.py): every
-            # consumer of self.params — chat/generate/ChatSession/
+        if weights_dtype in ("int8", "int4"):
+            # int8/int4 weight-only serving (ops/quantized_matmul.py):
+            # every consumer of self.params — chat/generate/ChatSession/
             # InferenceEngine/ModelWorker — decodes against the quantized
-            # LLM weights (near-2x the weight-bandwidth decode ceiling)
+            # LLM weights (near-2x / near-4x the weight-bandwidth decode
+            # ceiling; int4 is group-128 symmetric)
             from v2pe_tpu.ops.quantized_matmul import quantize_llm_params
 
-            params = {**params, "llm": quantize_llm_params(params["llm"])}
+            bits = 8 if weights_dtype == "int8" else 4
+            params = {**params,
+                      "llm": quantize_llm_params(params["llm"], bits=bits)}
         elif weights_dtype is not None:
             raise NotImplementedError(f"weights_dtype={weights_dtype!r}")
         self.params = params

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from v2pe_tpu.core.config import LLMConfig
 from v2pe_tpu.ops.attention import flash_attention
 from v2pe_tpu.ops.norms import rms_norm
-from v2pe_tpu.ops.quantized_matmul import (QuantizedWeight,
+from v2pe_tpu.ops.quantized_matmul import (Int4Weight, QuantizedWeight,
                                            StackedQuantizedRef,
                                            quantized_dot,
                                            quantized_dot_stacked,
@@ -104,9 +104,9 @@ def split_wqkv(qkv: jnp.ndarray, cfg: LLMConfig):
 
 
 def _dot(x, w, dtype=None):
-    if isinstance(w, StackedQuantizedRef):  # layer-indexed stacked int8
+    if isinstance(w, StackedQuantizedRef):  # layer-indexed stacked int8/int4
         return quantized_dot_stacked(x, w, dtype or x.dtype)
-    if isinstance(w, QuantizedWeight):  # int8 weight-only serving path
+    if isinstance(w, (QuantizedWeight, Int4Weight)):  # weight-only serving
         return quantized_dot(x, w, dtype or x.dtype)
     return jnp.dot(x, w, preferred_element_type=jnp.float32
                    ).astype(dtype or x.dtype)
@@ -124,9 +124,9 @@ def _layer_view(lp: dict, quant, li):
 
 
 def head_logits(x, output_kernel) -> jnp.ndarray:
-    """fp32 vocab logits — dispatches the int8-quantized head (the 92k-vocab
-    fp32 head is ~20% of the 2B model's decode HBM traffic)."""
-    if isinstance(output_kernel, QuantizedWeight):
+    """fp32 vocab logits — dispatches the int8/int4-quantized head (the
+    92k-vocab fp32 head is ~20% of the 2B model's decode HBM traffic)."""
+    if isinstance(output_kernel, (QuantizedWeight, Int4Weight)):
         return quantized_dot(x, output_kernel, jnp.float32)
     return jnp.dot(x, output_kernel, preferred_element_type=jnp.float32)
 

@@ -105,10 +105,10 @@ def param_sharding(params, mesh: Mesh):
 
     def visit(path, leaf):
         path_str = "/".join(str(getattr(k, "key", k)) for k in path)
-        # int8 QuantizedWeight children: q shards like the kernel it
-        # replaces; the per-output-channel scale shards on the output
-        # (last) dim only
-        if path_str.endswith("/q"):
+        # Quantized weight children (QuantizedWeight.q / Int4Weight.p):
+        # the payload shards like the kernel it replaces; the per-channel
+        # (or per-group) scale shards on the output (last) dim only
+        if path_str.endswith("/q") or path_str.endswith("/p"):
             spec = _spec_for_path(path_str[:-2], leaf.ndim)
         elif path_str.endswith("/scale"):
             kernel = _spec_for_path(path_str[:-6], leaf.ndim)
