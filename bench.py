@@ -861,6 +861,19 @@ def main():
        lambda: _decode_bench(jax, jnp, cfg, qparams, 8192, paged=True,
                              batch=8))
 
+    # int4 weight-only (group-128 symmetric, nibble-packed; in-VMEM unpack
+    # + dequant kernel): halves the weight read again. 8k dense is the
+    # pure weight-bandwidth point where the 4x tier shows; 32k w4+kv8 is
+    # the realistic quantized serving point (KV read shares the bill).
+    q4params = {"llm": jax.jit(
+        functools.partial(quantize_llm_params, bits=4))(params["llm"])}
+    dp("decode_tok_s_8k_dense_w4", 120,
+       lambda: _decode_bench(jax, jnp, cfg, q4params, 8192, paged=False))
+    dp("decode_tok_s_32k_paged_w4kv8", 120,
+       lambda: _decode_bench(jax, jnp, cfg, q4params, 32768, paged=True,
+                             kv_dtype="int8"))
+    q4params.clear()  # free before the 256k tier
+
     # the BASELINE.json north-star context: 256k decode on ONE chip.
     # w8 weights (~2.2 GB) + int8 KV (~12.8 GB incl. scales) fits 16 GB
     # only with the bf16 weights gone; they are re-created cheaply below.
