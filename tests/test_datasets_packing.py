@@ -169,3 +169,53 @@ def test_collated_batch_trains(toy_dataset, tokenizer):
     params = init_vlm_params(jax.random.PRNGKey(0), cfg)
     loss = loss_fn(params, cfg, batch, ctx_id, attn_impl="jnp", remat=False)
     assert np.isfinite(float(loss))
+
+
+def test_phi3_template_batch_trains(toy_dataset):
+    """VERDICT r4 §2.5 closure: a phi3-chat-template dataset flows through
+    tokenize -> preprocess_phi3 masking -> packing -> one real optimizer
+    step with finite loss and supervised tokens (the toy convs are
+    single-turn, where the phi3 turn arithmetic is exact)."""
+    import jax
+    import jax.numpy as jnp
+
+    from v2pe_tpu.core.config import LLMConfig, VLMConfig, VisionConfig
+    from v2pe_tpu.models.params import init_vlm_params
+    from v2pe_tpu.train.optimizer import TrainConfig, build_optimizer
+    from v2pe_tpu.train.train_step import make_train_step
+
+    from .test_data_pipeline import _toy_tokenizer_multi
+
+    tok = _toy_tokenizer_multi()
+    tok.model_max_length = 100000
+    cfg = VLMConfig(
+        vision=VisionConfig(hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            image_size=56, patch_size=14),
+        llm=LLMConfig(vocab_size=len(tok), hidden_size=32,
+                      intermediate_size=64, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2),
+    )
+    dsets = build_datasets(
+        toy_dataset, tok, template_name="phi3-chat", image_size=56,
+        num_image_token=4, max_dynamic_patch=6, rope_pos_id_stride=2)
+    ctx_id = tok.convert_tokens_to_ids("<IMG_CONTEXT>")
+    packer = PackedSampleIterator(dsets, max_tokens=256, max_tiles_per_row=8,
+                                  seed=5, img_context_token_id=ctx_id)
+    it = iter(packer)
+    batch = collate_rows([next(it), next(it)], max_tokens=256, max_tiles=16,
+                         img_context_token_id=ctx_id, num_image_token=4)
+    batch.pop("statistics")
+    assert (np.asarray(batch["targets"]) != -100).sum() > 0
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    tc = TrainConfig(learning_rate=1e-3, warmup_steps=0, total_steps=10)
+    tx = build_optimizer(tc, params)
+    opt_state = tx.init(params)
+    step = make_train_step(cfg, tx, None, ctx_id, attn_impl="jnp",
+                           remat=False, donate=False)
+    p1, o1, m1 = step(params, opt_state, batch)
+    _, _, m2 = step(p1, o1, batch)
+    assert np.isfinite(float(m1["loss"]))
+    assert float(m2["loss"]) < float(m1["loss"])

@@ -1,10 +1,12 @@
 """Chat templating.
 
-Minimal registry with the templates V2PE actually uses (the reference
-vendors ~40 fastchat templates in conversation.py; only ``internlm2-chat``
-is exercised by the 2B flows and ``internvl2_5`` by the 8B fork). Prompt
-strings match ``internvl/conversation.py:743-755`` (MPT separator style,
-``:239-248``) exactly."""
+Minimal registry with the templates V2PE actually trains on (the reference
+vendors ~40 fastchat templates in conversation.py; the four with a
+label-masking routine are ``internlm2-chat``/``internvl2_5`` plus
+``Hermes-2`` (mpt), ``phi3-chat`` and ``vicuna_v1.1`` (llama), matching the
+dispatch in ``internvl/train/internvl_chat_finetune.py:520-527``). Prompt
+strings match ``internvl/conversation.py`` exactly: MPT separator style
+``:239-248``, ADD_COLON_TWO ``:73-81``."""
 
 from __future__ import annotations
 
@@ -19,6 +21,8 @@ class Conversation:
     system_message: str
     roles: Tuple[str, str]
     sep: str
+    sep2: Optional[str] = None
+    sep_style: str = "mpt"  # "mpt" | "add_colon_two"
     stop_token_ids: Tuple[int, ...] = ()
     stop_str: Optional[str] = None
     messages: List[Tuple[str, Optional[str]]] = dataclasses.field(
@@ -32,7 +36,16 @@ class Conversation:
         self.messages.append((role, message))
 
     def get_prompt(self) -> str:
-        """MPT separator style (conversation.py:239-248)."""
+        """MPT (conversation.py:239-248) or ADD_COLON_TWO (:73-81) style."""
+        if self.sep_style == "add_colon_two":
+            seps = [self.sep, self.sep2]
+            ret = self.system_prompt + seps[0]
+            for i, (role, message) in enumerate(self.messages):
+                if message:
+                    ret += role + ": " + message + seps[i % 2]
+                else:
+                    ret += role + ":"
+            return ret
         ret = self.system_prompt + self.sep
         for role, message in self.messages:
             if message:
@@ -42,11 +55,7 @@ class Conversation:
         return ret
 
     def copy(self) -> "Conversation":
-        return Conversation(
-            name=self.name, system_template=self.system_template,
-            system_message=self.system_message, roles=self.roles,
-            sep=self.sep, stop_token_ids=self.stop_token_ids,
-            stop_str=self.stop_str, messages=list(self.messages))
+        return dataclasses.replace(self, messages=list(self.messages))
 
 
 _REGISTRY = {}
@@ -69,6 +78,46 @@ register_conv_template(Conversation(
     roles=("<|im_start|>user\n", "<|im_start|>assistant\n"),
     sep="<|im_end|>",
     stop_token_ids=(2, 1163, 92543, 92542),
+))
+
+# MPT-family template (conversation.py:722-738) — masked by preprocess_mpt.
+register_conv_template(Conversation(
+    name="Hermes-2",
+    system_template="<|im_start|>system\n{system_message}",
+    system_message=(
+        "你是由上海人工智能实验室联合商汤科技开发的书生多模态大模型，英文名叫InternVL, "
+        "是一个有用无害的人工智能助手。"),
+    roles=("<|im_start|>user\n", "<|im_start|>assistant\n"),
+    sep="<|im_end|>",
+    stop_token_ids=(2, 6, 7, 8),
+    stop_str="<|endoftext|>",
+))
+
+# Phi-3 template (conversation.py:794-809) — masked by preprocess_phi3.
+register_conv_template(Conversation(
+    name="phi3-chat",
+    system_template="<|system|>\n{system_message}",
+    system_message=(
+        "你是由上海人工智能实验室联合商汤科技开发的书生多模态大模型，英文名叫InternVL, "
+        "是一个有用无害的人工智能助手。"),
+    roles=("<|user|>\n", "<|assistant|>\n"),
+    sep="<|end|>",
+    stop_token_ids=(2, 32000, 32007),
+))
+
+# Vicuna/Llama template (conversation.py:402-411, ADD_COLON_TWO) — masked by
+# the llama-style ``preprocess``.
+register_conv_template(Conversation(
+    name="vicuna_v1.1",
+    system_template="{system_message}",
+    system_message=(
+        "A chat between a curious user and an artificial intelligence "
+        "assistant. The assistant gives helpful, detailed, and polite "
+        "answers to the user's questions."),
+    roles=("USER", "ASSISTANT"),
+    sep=" ",
+    sep2="</s>",
+    sep_style="add_colon_two",
 ))
 
 # InternVL2.5 template (internvl2_5/conversation.py:1324-1333): same MPT

@@ -30,7 +30,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from v2pe_tpu.data.constants import IGNORE_TOKEN_ID
-from v2pe_tpu.data.preprocess import preprocess_internlm
+from v2pe_tpu.data.preprocess import get_preprocess_function
 from v2pe_tpu.data.tiling import dynamic_preprocess
 from v2pe_tpu.data.transforms import build_transform
 from v2pe_tpu.positional import build_v2pe_pos_ids
@@ -249,7 +249,9 @@ class SupervisedDataset:
         n_img = len(num_tiles) if not text_only else 1
         token_list = [self.num_image_token * nt for nt in num_tiles] or \
             [self.num_image_token]
-        ret = preprocess_internlm(
+        # template → masking routine (internvl_chat_finetune.py:520-527)
+        preprocess_fn = get_preprocess_function(self.template_name)
+        ret = preprocess_fn(
             self.template_name, [data_item["conversations"]],
             self.tokenizer, token_list,
             text_only=text_only, ds_name=self.ds_name, num_image=n_img)

@@ -44,6 +44,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"])
     # data
     p.add_argument("--meta_path", required=True)
+    p.add_argument("--conv_style", "--template", dest="conv_style",
+                   default="internlm2-chat",
+                   choices=["internlm2-chat", "internvl2_5", "Hermes-2",
+                            "phi3-chat", "vicuna_v1.1"],
+                   help="chat template; picks the label-masking routine "
+                        "(internvl_chat_finetune.py:520-527)")
     p.add_argument("--force_image_size", type=int, default=448)
     p.add_argument("--max_dynamic_patch", type=int, default=12)
     p.add_argument("--min_dynamic_patch", type=int, default=1)
@@ -216,6 +222,7 @@ def main(argv=None):
 
     dsets = build_datasets(
         args.meta_path, tokenizer,
+        template_name=args.conv_style,
         num_image_token=cfg.num_image_token,
         image_size=args.force_image_size,
         max_dynamic_patch=args.max_dynamic_patch,
