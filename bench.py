@@ -865,13 +865,19 @@ def main():
     # + dequant kernel): halves the weight read again. 8k dense is the
     # pure weight-bandwidth point where the 4x tier shows; 32k w4+kv8 is
     # the realistic quantized serving point (KV read shares the bill).
-    q4params = {"llm": jax.jit(
-        functools.partial(quantize_llm_params, bits=4))(params["llm"])}
-    dp("decode_tok_s_8k_dense_w4", 120,
-       lambda: _decode_bench(jax, jnp, cfg, q4params, 8192, paged=False))
-    dp("decode_tok_s_32k_paged_w4kv8", 120,
-       lambda: _decode_bench(jax, jnp, cfg, q4params, 32768, paged=True,
-                             kv_dtype="int8"))
+    # q4params construction runs at peak residency (bf16 + w8 + w4 all
+    # live), so it gets its own guard: an OOM here skips only the two w4
+    # datapoints, not the 256k tier below (ADVICE r4).
+    q4params = {}
+    em.run("quantize_w4", 20, lambda: q4params.__setitem__(
+        "llm", jax.jit(functools.partial(quantize_llm_params, bits=4))(
+            params["llm"])))
+    if q4params:
+        dp("decode_tok_s_8k_dense_w4", 120,
+           lambda: _decode_bench(jax, jnp, cfg, q4params, 8192, paged=False))
+        dp("decode_tok_s_32k_paged_w4kv8", 120,
+           lambda: _decode_bench(jax, jnp, cfg, q4params, 32768, paged=True,
+                                 kv_dtype="int8"))
     q4params.clear()  # free before the 256k tier
 
     # the BASELINE.json north-star context: 256k decode on ONE chip.

@@ -2,7 +2,9 @@
 """One-off: measure the two new int4 weight-only decode datapoints on the
 real chip (exactly the code path bench.py's ``decode_tok_s_8k_dense_w4`` /
 ``decode_tok_s_32k_paged_w4kv8`` run), so the numbers land in docs and the
-compile cache is warm before the driver's bench run. Prints one JSON line.
+compile cache is warm before the driver's bench run. Prints a JSON line
+after each datapoint (bench.py's convention) — consumers keep the last,
+complete one.
 """
 
 import functools
