@@ -134,3 +134,40 @@ def test_embed_tokens_grad_matches_plain_gather():
         g_mesh = jax.jit(jax.grad(loss_custom))(table)
     np.testing.assert_allclose(np.asarray(g_mesh), np.asarray(g_plain),
                                rtol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["block2", "attn_saved", False])
+def test_remat_modes_match_full(mode):
+    """Every remat policy computes the SAME loss and gradients as full
+    per-layer remat — the policies trade memory for recompute only
+    (docs/perf_analysis.md training section). block4 on the 2-layer debug
+    model exercises the L%blk fallback to full."""
+    from v2pe_tpu.train.train_step import loss_fn
+
+    params = init_vlm_params(jax.random.PRNGKey(0), CFG)
+    batch = make_synthetic_batch(CFG, B, S, tiles_per_row=1)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def lg(remat):
+        return jax.jit(jax.value_and_grad(
+            lambda p: loss_fn(p, CFG, batch, IMG_CONTEXT_ID,
+                              "jnp", remat)))(params)
+
+    l_full, g_full = lg(True)
+    l_m, g_m = lg(mode)
+    np.testing.assert_allclose(float(l_m), float(l_full), rtol=1e-6)
+    flat_f, _ = jax.flatten_util.ravel_pytree(g_full)
+    flat_m, _ = jax.flatten_util.ravel_pytree(g_m)
+    np.testing.assert_allclose(np.asarray(flat_m), np.asarray(flat_f),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_remat_block4_fallback_runs():
+    from v2pe_tpu.train.train_step import loss_fn
+
+    params = init_vlm_params(jax.random.PRNGKey(0), CFG)
+    batch = make_synthetic_batch(CFG, B, S, tiles_per_row=1)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    loss = jax.jit(lambda p: loss_fn(p, CFG, batch, IMG_CONTEXT_ID,
+                                     "jnp", "block4"))(params)
+    assert np.isfinite(float(loss))

@@ -62,7 +62,7 @@ class ChatModel:
         # shared page pool across ragged batch rows
         self.cache_mode = cache_mode
         self.page_size = page_size
-        self.kv_dtype = kv_dtype  # 'int8': quantized paged pool
+        self.kv_dtype = kv_dtype  # 'int8'/'int4': quantized paged pool
         self.weights_dtype = weights_dtype
         self.img_context_token_id = tokenizer.convert_tokens_to_ids(
             IMG_CONTEXT_TOKEN)

@@ -75,7 +75,7 @@ def generate(
     attn_impl: str = "auto",
     cache_mode: str = "dense",   # 'dense' | 'paged'
     page_size: int = 128,
-    kv_dtype: Optional[str] = None,  # 'int8': quantized paged pool (halves
+    kv_dtype: Optional[str] = None,  # 'int8'/'int4': quantized pool (halves
     # the KV HBM — the >=128k single-chip serving regime)
 ):
     """Greedy/sampling decode.

@@ -60,8 +60,8 @@ class PagedKVCache(NamedTuple):
     page_table: jnp.ndarray
     lengths: jnp.ndarray
     next_page: jnp.ndarray
-    # int8 mode only (kv_dtype="int8"): per-(layer, head, token) fp32
-    # dequantization scales, (L, Hkv, n_pages, 1, page_size) — the page's
+    # quantized modes (kv_dtype="int8"/"int4"): per-(layer, head, token)
+    # fp32 dequantization scales, (L, Hkv, n_pages, 1, page_size) — the page's
     # token scales live on the LANE (minor) dim. Layout matters twice:
     # (a) a trailing singleton ((..., ps, 1)) gets lane-padded 128x by
     # XLA's (8,128) tiling — measured 102 MB of scales ballooning to
@@ -91,6 +91,15 @@ class PagedKVCache(NamedTuple):
     def quantized(self) -> bool:
         return self.k_scales is not None
 
+    @property
+    def kv_bits(self) -> int:
+        """Quantization width of the pool: 8 (int8) or 4 (int4, the
+        hardware-packed ``jnp.int4`` dtype — the TPU stores 8 nibbles per
+        32-bit word, layout T(...)(8,1), so the pool truly occupies half
+        the int8 bytes and the decode kernel's page DMA — the long-context
+        bottleneck — halves again). Meaningless when not quantized."""
+        return 4 if self.k_pages.dtype == jnp.int4 else 8
+
     @staticmethod
     def zeros(cfg: LLMConfig, batch: int, n_pages: int, page_size: int,
               max_pages_per_row: int, dtype=jnp.bfloat16,
@@ -98,9 +107,16 @@ class PagedKVCache(NamedTuple):
         assert n_pages % n_shards == 0, (n_pages, n_shards)
         shape = (cfg.num_hidden_layers, cfg.num_key_value_heads, n_pages,
                  page_size, cfg.head_dim)
-        quant = kv_dtype == "int8" or kv_dtype == jnp.int8
+        quant = kv_dtype in ("int8", "int4", jnp.int8, jnp.int4)
         if quant:
-            dtype = jnp.int8
+            dtype = jnp.int4 if kv_dtype in ("int4", jnp.int4) else jnp.int8
+            if dtype == jnp.int4:
+                # sub-byte layout-metadata workaround for experimental PJRT
+                # clients (no-op elsewhere); the pool crosses a jit
+                # boundary every decode step
+                from v2pe_tpu.utils import int4_compat
+
+                int4_compat.install()
         elif kv_dtype is not None:
             dtype = kv_dtype
         # every shard's head starts at local page 1: local page 0 is that
@@ -120,15 +136,17 @@ class PagedKVCache(NamedTuple):
         )
 
 
-def quantize_kv(x: jnp.ndarray):
-    """Symmetric int8 quantization with a per-vector (last-dim, i.e.
-    per-token-per-head) fp32 scale: returns (int8 values, scales with the
-    last dim kept as a singleton)."""
+def quantize_kv(x: jnp.ndarray, bits: int = 8):
+    """Symmetric int8/int4 quantization with a per-vector (last-dim, i.e.
+    per-token-per-head) fp32 scale: returns (int values, scales with the
+    last dim kept as a singleton). ``bits=4`` emits the native ``jnp.int4``
+    dtype (hardware nibble-packed on TPU) with qmax 7."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
-    return q, scale
+    qmax = 7.0 if bits == 4 else 127.0
+    scale = jnp.where(amax > 0, amax / qmax, 1.0)
+    q = jnp.clip(jnp.round(xf / scale), -qmax, qmax)
+    return q.astype(jnp.int4 if bits == 4 else jnp.int8), scale
 
 
 def allocate_rows(cache: PagedKVCache, new_lengths: jnp.ndarray
@@ -194,8 +212,8 @@ def write_all_layers(cache: PagedKVCache, k_new: jnp.ndarray,
 
     ksc = vsc = None
     if cache.quantized:
-        k_new, ksc = quantize_kv(k_new)   # scales (L, B, T, Hkv, 1)
-        v_new, vsc = quantize_kv(v_new)
+        k_new, ksc = quantize_kv(k_new, cache.kv_bits)  # (L, B, T, Hkv, 1)
+        v_new, vsc = quantize_kv(v_new, cache.kv_bits)
     sshape = None if not cache.quantized else cache.k_scales.shape
 
     if T == 1:

@@ -474,7 +474,12 @@ def mlp_forward(p: dict, x: jnp.ndarray) -> jnp.ndarray:
 def layer_forward(p, cfg: LLMConfig, x, cos, sin, *, segment_ids, positions,
                   attn_impl, kv_cache_layer=None, cache_length=None,
                   kv_valid=None, cache_write_only_new=False, paged=None,
-                  rope_pack=None):
+                  rope_pack=None, mlp_remat: bool = False):
+    """One decoder layer. ``mlp_remat`` is the remat='attn_saved' half:
+    only the SwiGLU block is wrapped in jax.checkpoint, so the attention's
+    custom_vjp residuals (q/k/v/out/lse) stay resident and its backward
+    runs without any forward recompute — the memory/recompute trade
+    measured in docs/perf_analysis.md (training section)."""
     h = rms_norm(x, p["attention_norm"], cfg.rms_norm_eps)
     attn_out, new_cache = attention_forward(
         p, cfg, h, cos, sin, segment_ids=segment_ids, positions=positions,
@@ -483,8 +488,15 @@ def layer_forward(p, cfg: LLMConfig, x, cos, sin, *, segment_ids, positions,
         cache_write_only_new=cache_write_only_new, paged=paged,
         rope_pack=rope_pack)
     x = x + attn_out
-    h = rms_norm(x, p["ffn_norm"], cfg.rms_norm_eps)
-    x = x + mlp_forward(p, h)
+
+    def _mlp_block(p2, x):
+        h = rms_norm(x, p2["ffn_norm"], cfg.rms_norm_eps)
+        return x + mlp_forward(p2, h)
+
+    if mlp_remat:
+        x = jax.checkpoint(_mlp_block)(p, x)
+    else:
+        x = _mlp_block(p, x)
     return x, new_cache
 
 
@@ -663,8 +675,9 @@ def llm_forward(
             if quant:
                 from v2pe_tpu.infer.paged_kv import quantize_kv
 
-                k_new, ks = quantize_kv(k_new)   # scales (B, S, Hkv, 1)
-                v_new, vs = quantize_kv(v_new)
+                kv_bits = paged_cache.kv_bits
+                k_new, ks = quantize_kv(k_new, kv_bits)  # (B, S, Hkv, 1)
+                v_new, vs = quantize_kv(v_new, kv_bits)
                 kss = jnp.moveaxis(ks, 2, 0).reshape(Hkv, B * S, 1)
                 vss = jnp.moveaxis(vs, 2, 0).reshape(Hkv, B * S, 1)
                 ksc = ksc.at[li, :, flat_idx].set(kss.swapaxes(0, 1),
@@ -713,6 +726,25 @@ def llm_forward(
                 remat=remat)
             new_cache = None
         else:
+            # remat modes (measured in docs/perf_analysis.md, training
+            # section):
+            #   True/'full'  — jax.checkpoint per layer: residual = layer
+            #                  input only (~S*D bf16/layer); backward pays
+            #                  one full extra forward. The default.
+            #   'block2'/'block4' — checkpoint per 2-/4-layer block: HALF/
+            #                  QUARTER the residual memory for the same
+            #                  recompute FLOPs (one extra forward either
+            #                  way) — the knob that fits the 32k recipe's
+            #                  train step on one 16 GB chip.
+            #   'attn_saved' — attention left un-rematerialized (its
+            #                  custom_vjp residuals q/k/v/out/lse stay
+            #                  live; the flash bwd kernel runs with NO
+            #                  forward recompute), only the SwiGLU block
+            #                  checkpointed. Fastest when memory allows.
+            #   False/'none' — no remat.
+            mode = {True: "full", False: "none"}.get(remat, remat)
+            mlp_remat = mode == "attn_saved"
+
             def run_layer(lp, x, li):
                 # the quantized view is built INSIDE so only pytrees cross
                 # the jax.checkpoint boundary
@@ -721,18 +753,43 @@ def llm_forward(
                                        segment_ids=segment_ids,
                                        positions=positions,
                                        attn_impl=attn_impl,
-                                       rope_pack=rope_pack)
+                                       rope_pack=rope_pack,
+                                       mlp_remat=mlp_remat)
                 return out
 
-            if remat:
+            if mode == "full":
                 run_layer = jax.checkpoint(run_layer)
 
-            def scan_body(carry, lp):
-                x, li = carry
-                return (run_layer(lp, x, li), li + 1), None
+            L = cfg.num_hidden_layers
+            blk = {"block2": 2, "block4": 4}.get(mode, 1)
+            if blk > 1 and L % blk == 0:
+                def run_block(bp, x, li0):
+                    for j in range(blk):
+                        lp = jax.tree.map(lambda a, _j=j: a[_j], bp)
+                        x = run_layer(lp, x, li0 + j)
+                    return x
 
-            (x, _), _ = jax.lax.scan(scan_body, (x, jnp.int32(0)),
-                                     layers_rest)
+                run_block = jax.checkpoint(run_block)
+                blocked = jax.tree.map(
+                    lambda a: a.reshape((L // blk, blk) + a.shape[1:]),
+                    layers_rest)
+
+                def scan_body(carry, bp):
+                    x, li = carry
+                    return (run_block(bp, x, li), li + blk), None
+
+                (x, _), _ = jax.lax.scan(scan_body, (x, jnp.int32(0)),
+                                         blocked)
+            else:
+                if blk > 1:  # L not divisible: degrade to full remat
+                    run_layer = jax.checkpoint(run_layer)
+
+                def scan_body(carry, lp):
+                    x, li = carry
+                    return (run_layer(lp, x, li), li + 1), None
+
+                (x, _), _ = jax.lax.scan(scan_body, (x, jnp.int32(0)),
+                                         layers_rest)
             new_cache = None
     else:
         # the whole (L, B, max_len, Hkv, hd) cache rides the scan CARRY and

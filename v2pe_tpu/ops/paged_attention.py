@@ -123,8 +123,9 @@ def store_fresh_token(
     if quantized:
         from v2pe_tpu.infer.paged_kv import quantize_kv
 
-        knr, ksn = quantize_kv(knr)   # scales (B, Hkv, 1, 1)
-        vnr, vsn = quantize_kv(vnr)
+        bits = 4 if k_pages.dtype == jnp.int4 else 8
+        knr, ksn = quantize_kv(knr, bits)   # scales (B, Hkv, 1, 1)
+        vnr, vsn = quantize_kv(vnr, bits)
         scale_ops = [jnp.pad(ksn, pad_t), jnp.pad(vsn, pad_t)]
     knr = jnp.pad(knr, pad_t)
     vnr = jnp.pad(vnr, pad_t)

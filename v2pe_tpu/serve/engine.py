@@ -449,8 +449,9 @@ class InferenceEngine:
       generation_config: engine-wide sampling settings; per-request
         ``max_new_tokens`` is honored via the in-block budget. Stop ids
         default to the model's template stop tokens.
-      kv_dtype: None (model dtype) or 'int8' (quantized pool — doubles
-        the token capacity per HBM byte).
+      kv_dtype: None (model dtype), 'int8' (quantized pool — doubles
+        the token capacity per HBM byte) or 'int4' (doubles it again;
+        hardware nibble-packed jnp.int4 pages).
     """
 
     def __init__(self, chat_model, *, max_rows: int = 8,

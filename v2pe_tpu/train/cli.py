@@ -101,6 +101,15 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="disable per-layer rematerialization (gradient "
                         "checkpointing); faster but peak-memory-heavy — "
                         "only for small models/contexts")
+    p.add_argument("--remat_policy", default="full",
+                   choices=["full", "block2", "block4", "attn_saved"],
+                   help="decoder remat granularity (docs/perf_analysis.md "
+                        "training section): 'full' per-layer (default); "
+                        "'block2'/'block4' checkpoint 2/4-layer blocks — "
+                        "half/quarter the residual memory, same recompute "
+                        "(fits the 32k recipe on one 16 GB chip); "
+                        "'attn_saved' keeps attention residuals and remats "
+                        "only the MLP — fastest when memory allows")
     # training-recipe knobs (internvl_chat_finetune.py:110-150)
     p.add_argument("--drop_path_rate", type=float, default=0.0,
                    help="ViT stochastic depth; published V2PE recipes "
@@ -273,7 +282,8 @@ def main(argv=None):
           img_context_token_id=ctx_id, resume=not args.no_resume,
           pixel_dtype=pixel_dtype, metrics_hook=hook,
           pipe_microbatches=args.pipe_microbatches,
-          ring_mode=args.ring_mode, remat=not args.no_remat,
+          ring_mode=args.ring_mode,
+          remat=False if args.no_remat else args.remat_policy,
           async_save=not args.sync_save,
           use_backbone_lora=args.use_backbone_lora,
           use_llm_lora=args.use_llm_lora)
