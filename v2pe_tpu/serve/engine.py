@@ -393,6 +393,21 @@ def _spec_block(llm, cache, ctx_buf, n_ctx, tok, pos, active, rem, *, cfg,
 
 
 @partial(jax.jit, donate_argnums=(0,))
+def _append_ctx(ctx_buf, n_ctx, emitted):
+    """Append a plain decode block's emitted tokens (-1 = none) to the
+    draft context buffer — keeps prompt-lookup history current while
+    speculation is adaptively suspended, so the re-probe block drafts
+    from the REAL tail of each stream, not the pre-suspension tail."""
+    B, W = ctx_buf.shape
+    valid = emitted >= 0
+    off = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+    idx = jnp.where(valid, n_ctx[:, None] + off, W)
+    ctx_buf = ctx_buf.at[jnp.arange(B)[:, None], idx].set(
+        jnp.maximum(emitted, 0), mode="drop")
+    return ctx_buf, n_ctx + jnp.sum(valid, axis=1).astype(n_ctx.dtype)
+
+
+@partial(jax.jit, donate_argnums=(0,))
 def _set_ctx_row(ctx_buf, row, vals, n):
     """Install an admitted row's prompt (+ first token) into the draft
     context buffer; slots past ``n`` are zeroed (never matched — lookup is
@@ -459,7 +474,9 @@ class InferenceEngine:
                  page_size: int = 512, chunk_size: int = 512,
                  decode_block: int = 16,
                  generation_config: Optional[GenerationConfig] = None,
-                 kv_dtype=None, prefix_caching: bool = True):
+                 kv_dtype=None, prefix_caching: bool = True,
+                 spec_min_accept: float = 1.5,
+                 spec_reprobe_blocks: int = 16):
         self.m = chat_model
         self.cfg = chat_model.cfg
         self.attn_impl = chat_model.attn_impl
@@ -497,6 +514,18 @@ class InferenceEngine:
             assert not gc.do_sample, \
                 "speculative engine decode is greedy-only"
         self._spec_slack = gc.speculative_k + 1 if self._spec else 0
+        # adaptive off-switch: a workload whose drafts don't hit (accept/
+        # forward below the break-even ratio — verify-forward cost over
+        # plain-step cost, ~1.3-2.2x depending on context) pays the full
+        # (K+1)-token verify price for ~1 token forever. Track acceptance
+        # per verify forward per active row (EMA over blocks); below
+        # ``spec_min_accept`` drafting SUSPENDS for ``spec_reprobe_blocks``
+        # plain decode blocks, then one spec block re-probes (workloads
+        # shift: a copy-heavy answer span can appear mid-stream).
+        self.spec_min_accept = float(spec_min_accept)
+        self.spec_reprobe_blocks = int(spec_reprobe_blocks)
+        self._spec_accept_ema: Optional[float] = None
+        self._spec_suspended_for = 0
         self._ctx_dev = jnp.zeros(
             (max_rows, max_len + self._spec_slack + 8), jnp.int32) \
             if self._spec else None
@@ -621,7 +650,13 @@ class InferenceEngine:
             self._admit(req, row, plan)
             progressed = True
         if self._active.any():
-            if self._spec:
+            if self._spec and self._spec_suspended_for > 0:
+                self._spec_suspended_for -= 1
+                self._run_decode_block()
+                if self._spec_suspended_for == 0:
+                    # forget the stale estimate before the re-probe block
+                    self._spec_accept_ema = None
+            elif self._spec:
                 self._run_spec_block()
             else:
                 self._run_decode_block()
@@ -839,6 +874,12 @@ class InferenceEngine:
             cfg=self.cfg.llm, gc=self.gc, k=self.decode_block,
             attn_impl=self.attn_impl, ctx=self.ctx)
         emitted = np.asarray(emitted)
+        if self._spec:
+            # suspended-speculation mode: keep the draft history current
+            self._ctx_dev, nctx = _append_ctx(
+                self._ctx_dev, jnp.asarray(self._nctx),
+                jnp.asarray(emitted))
+            self._nctx = np.array(nctx)
         # np.array (copy): np.asarray of a jax array is read-only
         self._tok = np.array(tok)
         self._pos = np.array(pos)
@@ -852,6 +893,7 @@ class InferenceEngine:
         forward, so a block emits between decode_block and
         decode_block*(K+1) tokens per active row."""
         llm = self.m.params["llm"]
+        self._n_act_before_block = int(self._active.sum())
         (self.cache, self._ctx_dev, nctx, tok, pos, active, rem,
          emitted) = _spec_block(
             llm, self.cache, self._ctx_dev, jnp.asarray(self._nctx),
@@ -869,6 +911,19 @@ class InferenceEngine:
             + int(self.decode_block)
         self.stats["spec_accepted"] = self.stats.get("spec_accepted", 0) \
             + int((emitted >= 0).sum())
+        # adaptive suspend (see __init__): acceptance per verify forward
+        # per row that was active when the block launched
+        n_act = getattr(self, "_n_act_before_block", 0)
+        if n_act:
+            accept = float((emitted >= 0).sum()) / (self.decode_block *
+                                                    n_act)
+            ema = self._spec_accept_ema
+            self._spec_accept_ema = accept if ema is None \
+                else 0.5 * ema + 0.5 * accept
+            if self._spec_accept_ema < self.spec_min_accept:
+                self._spec_suspended_for = self.spec_reprobe_blocks
+                self.stats["spec_suspends"] = \
+                    self.stats.get("spec_suspends", 0) + 1
         self._drain_emitted(emitted)
 
     def _drain_emitted(self, emitted: np.ndarray) -> None:
