@@ -297,15 +297,17 @@ def _turn_prefill_bench(jax, jnp, cfg, params, hist: int = 32768,
 
 
 def _train_bench(jax, jnp, cfg, params, seq_len: int = 8192,
-                 tiles: int = 8, steps: int = 2, remat="full"):
+                 tiles: int = 8, steps: int = 2, remat="full",
+                 offload_optimizer: bool = False):
     """Full fwd+bwd+Adam training step throughput (remat, chunked CE) on
     the 2B model — the reference recipe's per-chip unit of work. ``remat``
-    selects the decoder checkpoint policy ('full' | 'block2' | 'block4' |
-    'attn_saved' — docs/perf_analysis.md training section; at 32k only
-    the block policies' residuals fit one 16 GB chip)."""
+    selects the decoder checkpoint policy ('full' | 'blockN' |
+    'attn_saved'); ``offload_optimizer`` stages the int8 Adam state
+    through pinned host memory (the ZeRO-Offload move that fits the 32k
+    step on one 16 GB chip — docs/perf_analysis.md training section)."""
     from v2pe_tpu.train.optimizer import TrainConfig, build_optimizer
     from v2pe_tpu.train.synth import IMG_CONTEXT_ID, make_synthetic_batch
-    from v2pe_tpu.train.train_step import make_train_step
+    from v2pe_tpu.train.train_step import host_opt_state, make_train_step
 
     # int8 Adam moments: fp32 moments for 2.2B params are 17.6 GB — over
     # one chip's HBM; the 8-bit optimizer (the reference recipe's bnb
@@ -314,13 +316,15 @@ def _train_bench(jax, jnp, cfg, params, seq_len: int = 8192,
                      use_8bit_optimizer=True)
     tx = build_optimizer(tc, params)
     opt_state = tx.init(params)
+    if offload_optimizer:
+        opt_state = host_opt_state(opt_state)
     batch = make_synthetic_batch(cfg, 1, seq_len, tiles_per_row=tiles,
                                  stride=64)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     batch["pixel_values"] = batch["pixel_values"].astype(
         params["llm"]["tok_embeddings"].dtype)
     step = make_train_step(cfg, tx, None, IMG_CONTEXT_ID, remat=remat,
-                           donate=True)
+                           donate=True, offload_optimizer=offload_optimizer)
     params, opt_state, m = step(params, opt_state, batch)   # compile
     float(m["loss"])
     t0 = time.perf_counter()

@@ -171,3 +171,30 @@ def test_remat_block4_fallback_runs():
     loss = jax.jit(lambda p: loss_fn(p, CFG, batch, IMG_CONTEXT_ID,
                                      "jnp", "block4"))(params)
     assert np.isfinite(float(loss))
+
+
+def test_offloaded_optimizer_matches_resident():
+    """offload_optimizer=True (optimizer state staged through host memory,
+    the ZeRO-Offload move) must be bit-equivalent to the resident step —
+    the memory space is the only difference."""
+    from v2pe_tpu.train.train_step import host_opt_state
+
+    params_a, opt_a, batch, step_a = _setup()
+    params_b = init_vlm_params(jax.random.PRNGKey(0), CFG)
+    tc = TrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=10)
+    tx = build_optimizer(tc, params_b)
+    opt_b = host_opt_state(tx.init(params_b))
+    step_b = make_train_step(CFG, tx, None, IMG_CONTEXT_ID, attn_impl="jnp",
+                             remat=True, donate=False,
+                             offload_optimizer=True)
+    pa, oa, ma = step_a(params_a, opt_a, batch)
+    pb, ob, mb = step_b(params_b, opt_b, batch)
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                               rtol=1e-6)
+    fa, _ = jax.flatten_util.ravel_pytree(pa)
+    fb, _ = jax.flatten_util.ravel_pytree(pb)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), rtol=1e-6,
+                               atol=1e-7)
+    # and a second step consumes the host-resident state fine
+    pb2, ob2, mb2 = step_b(pb, ob, batch)
+    assert np.isfinite(float(mb2["loss"]))

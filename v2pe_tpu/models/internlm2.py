@@ -407,7 +407,7 @@ def _two_part_decode_attention(q, k_new, v_new, k_buf, v_buf, cache_length,
     return out.reshape(B, S, Hq, hd).astype(q.dtype)
 
 
-MLP_CHUNK_THRESHOLD = 65536  # sequence length where SwiGLU goes chunked
+MLP_CHUNK_THRESHOLD = 32768  # sequence length where SwiGLU goes chunked
 MLP_CHUNK = 16384
 
 
@@ -455,7 +455,15 @@ def mlp_forward(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     (S, intermediate) bf16 gate buffers are ~8.6 GB live at once for the 2B
     model — the difference between fitting a 256k prefill on one v5e chip
     and crashing the worker. Chunking costs nothing (same FLOPs, 16k-row
-    matmuls keep the MXU saturated)."""
+    matmuls keep the MXU saturated).
+
+    The chunk body is jax.checkpoint'd so that under TRAINING remat the
+    backward holds only ONE chunk's gates at a time instead of the full
+    (S, I) pair per in-flight layer — at 32k the unchunked gates were
+    nine 512 MB buffers at the backward's peak, the 837 MB-over-HBM
+    difference between the 32k recipe step fitting one 16 GB chip and
+    OOM. Inference-only forwards are unaffected (checkpoint is identity
+    without differentiation)."""
     B, S, D = x.shape
     if S < MLP_CHUNK_THRESHOLD or S % MLP_CHUNK != 0:
         return _dot(jax.nn.silu(_dot(x, p["w1_kernel"]))
@@ -463,9 +471,13 @@ def mlp_forward(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     n = S // MLP_CHUNK
     xc = jnp.moveaxis(x.reshape(B, n, MLP_CHUNK, D), 1, 0)
 
+    @jax.checkpoint
+    def chunk(xi):
+        return _dot(jax.nn.silu(_dot(xi, p["w1_kernel"]))
+                    * _dot(xi, p["w3_kernel"]), p["w2_kernel"])
+
     def body(_, xi):
-        return None, _dot(jax.nn.silu(_dot(xi, p["w1_kernel"]))
-                          * _dot(xi, p["w3_kernel"]), p["w2_kernel"])
+        return None, chunk(xi)
 
     _, out = jax.lax.scan(body, None, xc)
     return jnp.moveaxis(out, 0, 1).reshape(B, S, D)
@@ -761,7 +773,8 @@ def llm_forward(
                 run_layer = jax.checkpoint(run_layer)
 
             L = cfg.num_hidden_layers
-            blk = {"block2": 2, "block4": 4}.get(mode, 1)
+            blk = int(mode[5:]) if (isinstance(mode, str)
+                                    and mode.startswith("block")) else 1
             if blk > 1 and L % blk == 0:
                 def run_block(bp, x, li0):
                     for j in range(blk):

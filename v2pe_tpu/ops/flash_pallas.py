@@ -222,9 +222,11 @@ def _kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
         out_ref[0, 0] = (acc_ref[...] / l_safe).astype(out_ref.dtype)
         m = m_ref[:, :1]
         lse = jnp.where(l > 0, m + jnp.log(l_safe), NEG_INF)  # (bq, 1)
-        # lse output is (B, Hq, Sq_p, 1): a LANES-wide buffer here costs
-        # 128x the HBM (2.1 GB + 50 GB of writes over 24 layers at 256k)
-        lse_ref[0, 0] = lse
+        # lse output is (B, Hq, Sq_p) with Sq on the LANE dim: a trailing
+        # singleton gets lane-padded 128x by the (8,128) HBM tiling —
+        # 256 MB instead of 2 MB at 32k, 2.1 GB at 256k (the round-5 32k
+        # train-step OOM). One (bq,1)->(1,bq) relayout per block is noise.
+        lse_ref[0] = jnp.swapaxes(lse, 0, 1)
 
 
 def flash_attention_fwd_pallas(
@@ -343,11 +345,15 @@ def flash_attention_fwd_pallas(
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j: (b, h, i, 0)),
+            # (B*Hq, 1, Sq_p): Mosaic wants the block's second-to-last dim
+            # to divide 8 or equal the array dim — fold heads into the
+            # leading dim so the middle dim is exactly 1 (the same shape
+            # contract the seg/pos vector operands use)
+            pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b * Hq + h, 0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Hq, Sq_p, D), q.dtype),
-            jax.ShapeDtypeStruct((B, Hq, Sq_p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B * Hq, 1, Sq_p), jnp.float32),
         ],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
@@ -362,5 +368,5 @@ def flash_attention_fwd_pallas(
     )(*operands)
 
     out = jnp.swapaxes(out[:, :, :Sq], 1, 2)  # (B,Sq,Hq,D)
-    lse = lse[:, :, :Sq, 0]                   # (B,Hq,Sq)
+    lse = lse.reshape(B, Hq, Sq_p)[:, :, :Sq]  # (B,Hq,Sq)
     return out, lse

@@ -95,8 +95,8 @@ def _dkv_kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
         k = k_ref[0, 0].astype(jnp.float32)             # (bk, D)
         v = v_ref[0, 0].astype(jnp.float32)
         do = do_ref[0, 0].astype(jnp.float32)           # (bq, D)
-        lse = lse_ref[0, 0]                             # (bq, 1)
-        di = di_ref[0, 0]                               # (bq, 1)
+        lse = jnp.swapaxes(lse_ref[0], 0, 1)            # (bq, 1)
+        di = jnp.swapaxes(di_ref[0], 0, 1)              # (bq, 1)
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -157,8 +157,8 @@ def _dq_kernel(seg_q_ref, seg_k_ref, pos_q_ref, pos_k_ref,
         k = k_ref[0, 0].astype(jnp.float32)
         v = v_ref[0, 0].astype(jnp.float32)
         do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0]
-        di = di_ref[0, 0]
+        lse = jnp.swapaxes(lse_ref[0], 0, 1)            # (bq, 1)
+        di = jnp.swapaxes(di_ref[0], 0, 1)              # (bq, 1)
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -233,8 +233,12 @@ def flash_attention_bwd_pallas(
     dot_ = _padax(jnp.swapaxes(do, 1, 2), 2, Sq_p)
     kt = _padax(jnp.swapaxes(k, 1, 2), 2, Sk_p)
     vt = _padax(jnp.swapaxes(v, 1, 2), 2, Sk_p)
-    lse_p = _padax(lse, 2, Sq_p, value=NEG_INF)[..., None]   # (B,Hq,Sq,1)
-    di_p = _padax(di, 2, Sq_p)[..., None]
+    # lse/di stay Sq-on-the-LANE-dim, heads folded into the leading dim
+    # ((B*Hq, 1, Sq_p) — the vector-operand shape contract, see
+    # flash_pallas.py); a trailing singleton would lane-pad 128x in HBM
+    # (256 MB each at 32k — the round-5 32k train-step OOM)
+    lse_p = _padax(lse, 2, Sq_p, value=NEG_INF).reshape(B * Hq, 1, Sq_p)
+    di_p = _padax(di, 2, Sq_p).reshape(B * Hq, 1, Sq_p)
     seg_q3 = _padax(seg_q, 1, Sq_p)[:, None, :]
     seg_k3 = _padax(seg_k, 1, Sk_p)[:, None, :]
     pos_q3 = _padax(pos_q, 1, Sq_p, value=-1)[:, None, :]
@@ -262,10 +266,12 @@ def flash_attention_bwd_pallas(
             pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j: (b, h, i, 0)),
             pl.BlockSpec((1, 1, bq, D),
                          lambda b, h, i, j: (b, qhead(h, j), qblk(j), 0)),
-            pl.BlockSpec((1, 1, bq, 1),
-                         lambda b, h, i, j: (b, qhead(h, j), qblk(j), 0)),
-            pl.BlockSpec((1, 1, bq, 1),
-                         lambda b, h, i, j: (b, qhead(h, j), qblk(j), 0)),
+            pl.BlockSpec((1, 1, bq),
+                         lambda b, h, i, j: (b * Hq + qhead(h, j), 0,
+                                             qblk(j))),
+            pl.BlockSpec((1, 1, bq),
+                         lambda b, h, i, j: (b * Hq + qhead(h, j), 0,
+                                             qblk(j))),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j: (b, h, i, 0)),
@@ -324,8 +330,10 @@ def flash_attention_bwd_pallas(
             pl.BlockSpec((1, 1, bk, D), kv_index),
             pl.BlockSpec((1, 1, bk, D), kv_index),
             pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq),
+                         lambda b, h, i, j: (b * Hq + h, 0, i)),
+            pl.BlockSpec((1, 1, bq),
+                         lambda b, h, i, j: (b * Hq + h, 0, i)),
         ],
         out_specs=pl.BlockSpec((1, 1, bq, D),
                                lambda b, h, i, j: (b, h, i, 0)),

@@ -110,6 +110,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(fits the 32k recipe on one 16 GB chip); "
                         "'attn_saved' keeps attention residuals and remats "
                         "only the MLP — fastest when memory allows")
+    p.add_argument("--offload_optimizer", action="store_true",
+                   help="keep optimizer state in pinned HOST memory and "
+                        "stage it through HBM only for the update "
+                        "(ZeRO-Offload equivalent) — separates the "
+                        "backward's and the update's memory peaks; the "
+                        "knob that fits the 32k-recipe step on one 16 GB "
+                        "chip (docs/perf_analysis.md training section)")
     # training-recipe knobs (internvl_chat_finetune.py:110-150)
     p.add_argument("--drop_path_rate", type=float, default=0.0,
                    help="ViT stochastic depth; published V2PE recipes "
@@ -284,6 +291,7 @@ def main(argv=None):
           pipe_microbatches=args.pipe_microbatches,
           ring_mode=args.ring_mode,
           remat=False if args.no_remat else args.remat_policy,
+          offload_optimizer=args.offload_optimizer,
           async_save=not args.sync_save,
           use_backbone_lora=args.use_backbone_lora,
           use_llm_lora=args.use_llm_lora)

@@ -59,12 +59,26 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation,
                     mesh: Optional[Mesh], img_context_token_id: int,
                     attn_impl: str = "auto", remat: bool = True,
                     donate: bool = True, pipe_microbatches: int = 0,
-                    ring_mode: str = "scan", lora: bool = False):
+                    ring_mode: str = "scan", lora: bool = False,
+                    offload_optimizer: bool = False):
     """Returns step(params, opt_state, batch) -> (params, opt_state, metrics).
 
     When `mesh` is given the step is jitted with sharded in/out specs and a
     ShardingContext is active during tracing so attention routes through
     shard_map (ring over 'seq' when sized).
+
+    ``offload_optimizer=True`` keeps the optimizer state resident in HOST
+    memory (pinned_host memory kind) and stages it through HBM only for
+    the update — the ZeRO-Offload idea, TPU-native. The point is peak
+    SEPARATION, not just capacity: the backward's peak (params + grads +
+    activations/residuals) and the update's peak (params + grads +
+    moments) each fit a 16 GB chip where their union does not — this is
+    what fits the 32k-recipe train step on ONE v5e (measured: resident
+    moments put the step 2.6-4.2 GB over HBM; offloaded it runs —
+    docs/perf_analysis.md training section). The h2d moment fetch has no
+    data dependency on the backward, so XLA can overlap it; the d2h
+    writeback trails the update. Initialize/carry opt_state with
+    :func:`host_opt_state`.
 
     With ``lora=True`` the step is
     step(lora_tree, opt_state, batch, base_params) -> (lora_tree, ...):
@@ -73,6 +87,27 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation,
     argument), and tx/opt_state cover just the adapters — the optimizer
     state is rank-sized, which is the point of LoRA (reference:
     wrap_backbone_lora/wrap_llm_lora, modeling_internvl_chat.py:142-163)."""
+    if offload_optimizer:
+        assert not lora, "LoRA state is rank-sized; offload is pointless"
+        inner_tx = tx
+
+        def _to(space):
+            # jax.memory.Space keeps each leaf's sharding, changing only
+            # the memory space — works single-device and under a mesh
+            def put(tree):
+                return jax.tree.map(
+                    lambda a: jax.device_put(a, space), tree)
+
+            return put
+
+        class _OffloadTx:
+            def update(self, grads, opt_state_host, params):
+                opt_state = _to(jax.memory.Space.Device)(opt_state_host)
+                updates, opt_state = inner_tx.update(grads, opt_state,
+                                                     params)
+                return updates, _to(jax.memory.Space.Host)(opt_state)
+
+        tx = _OffloadTx()
 
     if lora:
         from v2pe_tpu.models.lora import merge_lora
@@ -118,6 +153,13 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation,
             return step(params, opt_state, batch, dropout_rng)
 
     return jax.jit(step_with_ctx, donate_argnums=(0, 1) if donate else ())
+
+
+def host_opt_state(opt_state):
+    """Move an optimizer state to pinned host memory (the resident home
+    of the state under ``offload_optimizer=True``)."""
+    return jax.tree.map(
+        lambda a: jax.device_put(a, jax.memory.Space.Host), opt_state)
 
 
 def shard_params(params, mesh: Mesh):

@@ -92,6 +92,7 @@ def train(
     async_save: bool = True,
     use_backbone_lora: int = 0,
     use_llm_lora: int = 0,
+    offload_optimizer: bool = False,
 ):
     """Run the training loop; returns (params, opt_state, step).
 
@@ -127,10 +128,15 @@ def train(
         trainable = params if not lora_mode else shard_params(trainable,
                                                               mesh)
     opt_state = init_opt_state(tx, trainable, mesh)
+    if offload_optimizer:
+        from v2pe_tpu.train.train_step import host_opt_state
+
+        opt_state = host_opt_state(opt_state)
     step_fn = make_train_step(cfg, tx, mesh, img_context_token_id,
                               attn_impl=attn_impl, remat=remat,
                               pipe_microbatches=pipe_microbatches,
-                              ring_mode=ring_mode, lora=lora_mode)
+                              ring_mode=ring_mode, lora=lora_mode,
+                              offload_optimizer=offload_optimizer)
 
     start_step = 0
     if resume:
