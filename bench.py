@@ -307,17 +307,16 @@ def _train_bench(jax, jnp, cfg, params, seq_len: int = 8192,
     step on one 16 GB chip — docs/perf_analysis.md training section)."""
     from v2pe_tpu.train.optimizer import TrainConfig, build_optimizer
     from v2pe_tpu.train.synth import IMG_CONTEXT_ID, make_synthetic_batch
-    from v2pe_tpu.train.train_step import host_opt_state, make_train_step
+    from v2pe_tpu.train.train_step import make_train_step
 
     # int8 Adam moments: fp32 moments for 2.2B params are 17.6 GB — over
     # one chip's HBM; the 8-bit optimizer (the reference recipe's bnb
     # Adam8bit) is the single-chip training configuration
     tc = TrainConfig(learning_rate=1e-5, warmup_steps=1, total_steps=100,
-                     use_8bit_optimizer=True)
+                     use_8bit_optimizer=True,
+                     offload_optimizer=offload_optimizer)
     tx = build_optimizer(tc, params)
     opt_state = tx.init(params)
-    if offload_optimizer:
-        opt_state = host_opt_state(opt_state)
     batch = make_synthetic_batch(cfg, 1, seq_len, tiles_per_row=tiles,
                                  stride=64)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -428,6 +427,48 @@ def _host_pipeline_bench(n_iters: int = 24):
     dt = (time.perf_counter() - t0) / t_pil
     out["host_tiles_per_s_pil"] = round(n_tiles / dt, 1)
     return out
+
+
+def _train_fwdbwd_bench(jax, jnp, cfg, params, seq_len: int = 32768,
+                        tiles: int = 32, steps: int = 2, remat="full"):
+    """Gradient-computation throughput (value_and_grad of the full VLM
+    loss, remat, chunked CE — NO optimizer apply) at the published
+    recipe's 32k packed shape. This is the honestly-labeled 32k training
+    number: the full step's params+grads+int8-moments static set is
+    13.4 GB, which plus the 32k activations misses one 16 GB chip by
+    0.04-2.6 GB in every measured configuration (resident, host-offloaded
+    tree-level and per-leaf — docs/perf_analysis.md training section);
+    the gradient computation — the dominant cost — fits with room. The
+    full recipe step at 32k runs on >=2 chips (fsdp shards params/grads/
+    moments; the reference itself runs this recipe ZeRO-1-sharded over
+    32 GPUs)."""
+    from v2pe_tpu.train.synth import IMG_CONTEXT_ID, make_synthetic_batch
+    from v2pe_tpu.train.train_step import loss_fn
+
+    batch = make_synthetic_batch(cfg, 1, seq_len, tiles_per_row=tiles,
+                                 stride=64)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    batch["pixel_values"] = batch["pixel_values"].astype(
+        params["llm"]["tok_embeddings"].dtype)
+
+    @jax.jit
+    def grad_step(params, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, cfg, batch, IMG_CONTEXT_ID, "auto", remat, None)
+        # consume grads into a scalar so nothing is dead-code-eliminated
+        # but the full grad tree need not be fetched
+        import optax
+
+        return loss, optax.global_norm(grads)
+
+    loss, gn = grad_step(params, batch)   # compile
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        loss, gn = grad_step(params, batch)
+    float(loss), float(gn)
+    dt = (time.perf_counter() - t0 - RTT) / steps
+    return seq_len / dt
 
 
 def _spec_verify_bench(jax, jnp, cfg, params, ctx_len: int, T: int = 8,
@@ -1055,12 +1096,14 @@ def main():
     def train32k():
         # the published recipe's unit of work (32 GPUs x 48 h at
         # --max_packed_tokens 34000, shell/internlm2_2b/..._v2pe_32k.sh):
-        # one 32k-packed step on one chip. block2 remat halves the
-        # residual memory so the step fits 16 GB HBM beside the int8
-        # optimizer state (docs/perf_analysis.md, training section).
-        ex["train_tok_s_32k_32tiles"] = round(
-            _train_bench(jax, jnp, cfg, fresh_params(), seq_len=32768,
-                         tiles=32, remat="block2"), 1)
+        # gradient computation (fwd+bwd, remat, chunked CE) of one
+        # 32k-packed batch on one chip. The FULL step (+ int8 Adam apply)
+        # misses one 16 GB chip by 0.04-2.6 GB in every measured
+        # configuration incl. host-offloaded moments — see
+        # _train_fwdbwd_bench's docstring and docs/perf_analysis.md;
+        # the recipe's own regime is optimizer-sharded (ZeRO-1 / fsdp).
+        ex["train_fwdbwd_tok_s_32k_32tiles"] = round(
+            _train_fwdbwd_bench(jax, jnp, cfg, fresh_params()), 1)
 
     em.run("train_32k", 600, train32k)
 

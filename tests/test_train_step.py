@@ -174,16 +174,24 @@ def test_remat_block4_fallback_runs():
 
 
 def test_offloaded_optimizer_matches_resident():
-    """offload_optimizer=True (optimizer state staged through host memory,
-    the ZeRO-Offload move) must be bit-equivalent to the resident step —
-    the memory space is the only difference."""
-    from v2pe_tpu.train.train_step import host_opt_state
+    """offload_optimizer (int8 Adam state staged through host memory per
+    leaf, the ZeRO-Offload move) must match the RESIDENT int8 Adam step —
+    the memory space and staging order are the only differences."""
+    params_a = init_vlm_params(jax.random.PRNGKey(0), CFG)
+    tc_a = TrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=10,
+                       use_8bit_optimizer=True)
+    tx_a = build_optimizer(tc_a, params_a)
+    opt_a = tx_a.init(params_a)
+    batch = make_synthetic_batch(CFG, B, S, tiles_per_row=1)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    step_a = make_train_step(CFG, tx_a, None, IMG_CONTEXT_ID,
+                             attn_impl="jnp", remat=True, donate=False)
 
-    params_a, opt_a, batch, step_a = _setup()
     params_b = init_vlm_params(jax.random.PRNGKey(0), CFG)
-    tc = TrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=10)
+    tc = TrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=10,
+                     use_8bit_optimizer=True, offload_optimizer=True)
     tx = build_optimizer(tc, params_b)
-    opt_b = host_opt_state(tx.init(params_b))
+    opt_b = tx.init(params_b)
     step_b = make_train_step(CFG, tx, None, IMG_CONTEXT_ID, attn_impl="jnp",
                              remat=True, donate=False,
                              offload_optimizer=True)

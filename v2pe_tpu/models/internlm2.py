@@ -408,7 +408,7 @@ def _two_part_decode_attention(q, k_new, v_new, k_buf, v_buf, cache_length,
 
 
 MLP_CHUNK_THRESHOLD = 32768  # sequence length where SwiGLU goes chunked
-MLP_CHUNK = 16384
+MLP_CHUNK = 8192  # bounds the live (chunk, I) gate pair at 256 MB bf16
 
 
 def _qkv_chunked(p, cfg: LLMConfig, x, cos, sin, fused_rope: bool):

@@ -89,17 +89,40 @@ class ScaleByAdam8bitState(NamedTuple):
 
 
 def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
-                      block_size: int = 256) -> optax.GradientTransformation:
+                      block_size: int = 256,
+                      offload: bool = False) -> optax.GradientTransformation:
+    """``offload=True``: the int8 moment tensors live in HOST memory
+    (jax.memory.Space.Host) and are staged through HBM only during the
+    update, behind an optimization_barrier on the gradients — the
+    TPU-native ZeRO-Offload (DeepSpeed's CPU optimizer-state offload).
+    The goal is peak separation: the backward's peak (params + grads +
+    activations) and the update's peak (params + grads + staged moments)
+    each fit where their union does not.
+
+    EXPERIMENTAL on current XLA: the in-jit host transfers are at the
+    mercy of the latency-hiding scheduler's buffer assignment — the 32k
+    single-chip recipe step measured anywhere from 6 MB to 3.7 GB over
+    HBM across structurally-minor program variations, and a per-leaf
+    barrier-chained variant (intended to bound staging at one leaf)
+    measured strictly worse (+2.3 GB even at 8k). Numerics are exactly
+    the resident int8 Adam (tests/test_train_step.py); the measured
+    memory account lives in docs/perf_analysis.md (training section)."""
     def init_fn(params):
         zq = jax.tree.map(
             lambda p: _quantize(jnp.zeros(p.shape, jnp.float32), block_size),
             params)
-        return ScaleByAdam8bitState(
+        state = ScaleByAdam8bitState(
             count=jnp.zeros((), jnp.int32),
             mu=zq,
             nu=jax.tree.map(
                 lambda p: _quantize_sqrt(jnp.zeros(p.shape, jnp.float32),
                                          block_size), params))
+        if offload:
+            state = ScaleByAdam8bitState(
+                count=state.count,
+                mu=_put_tree(state.mu, jax.memory.Space.Host),
+                nu=_put_tree(state.nu, jax.memory.Space.Host))
+        return state
 
     # ~16 MB of f32 per live chunk: dequantizing a whole stacked-layer
     # moment tensor at once materializes param-sized f32 temps (1.5 GB per
@@ -167,10 +190,37 @@ def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
         flat_u, tdef = jax.tree.flatten(updates)
         flat_m = tdef.flatten_up_to(state.mu)
         flat_n = tdef.flatten_up_to(state.nu)
-        outs = [upd(g, m, n) for g, m, n in zip(flat_u, flat_m, flat_n)]
+        if not offload:
+            outs = [upd(g, m, n) for g, m, n in zip(flat_u, flat_m, flat_n)]
+        else:
+            # tree-level host staging behind ONE grads barrier: fetch the
+            # moment codes only after every grad exists (the barrier stops
+            # the latency-hiding scheduler from prefetching them into the
+            # backward's activation peak), update, write back. A per-leaf
+            # barrier-chained variant was measured STRICTLY WORSE on this
+            # XLA build (+2.3 GB even at 8k — the chain forced extra
+            # materialization); see docs/perf_analysis.md for the full
+            # measured account, including the remaining scheduler
+            # bistability at 32k.
+            bar = jax.lax.optimization_barrier(tuple(flat_u))
+            flat_u = list(bar)
+            fetch = lambda q: _Q(
+                jax.device_put(q.code, jax.memory.Space.Device),
+                jax.device_put(q.scale, jax.memory.Space.Device))
+            store = lambda q: _Q(
+                jax.device_put(q.code, jax.memory.Space.Host),
+                jax.device_put(q.scale, jax.memory.Space.Host))
+            outs = []
+            for g, m, n in zip(flat_u, flat_m, flat_n):
+                out, mq, nq = upd(g, fetch(m), fetch(n))
+                outs.append((out, store(mq), store(nq)))
         new_updates = tdef.unflatten([o[0] for o in outs])
         new_mu = tdef.unflatten([o[1] for o in outs])
         new_nu = tdef.unflatten([o[2] for o in outs])
         return new_updates, ScaleByAdam8bitState(count, new_mu, new_nu)
 
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _put_tree(tree, space):
+    return jax.tree.map(lambda a: jax.device_put(a, space), tree)

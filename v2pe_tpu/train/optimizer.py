@@ -38,6 +38,10 @@ class TrainConfig:
     # frozen subtrees get zero gradient before Adam, so moments stay clean
     use_8bit_optimizer: bool = False  # block-wise int8 Adam state
                                       # (trainer_monkey_patch.py:147-159)
+    offload_optimizer: bool = False   # int8 Adam state resident in HOST
+                                      # memory, staged per leaf (ZeRO-
+                                      # Offload equivalent; requires
+                                      # use_8bit_optimizer; adam8bit.py)
     freeze_llm: bool = False
     freeze_backbone: bool = False
     freeze_mlp: bool = False
@@ -158,8 +162,12 @@ def build_optimizer(tc: TrainConfig, params) -> optax.GradientTransformation:
     if tc.use_8bit_optimizer:
         from v2pe_tpu.train.adam8bit import scale_by_adam8bit
 
-        adam = scale_by_adam8bit(b1=tc.beta1, b2=tc.beta2, eps=tc.eps)
+        adam = scale_by_adam8bit(b1=tc.beta1, b2=tc.beta2, eps=tc.eps,
+                                 offload=tc.offload_optimizer)
     else:
+        assert not tc.offload_optimizer, \
+            "offload_optimizer requires use_8bit_optimizer (the fp32 " \
+            "moment state has no per-leaf staging path)"
         adam = optax.scale_by_adam(b1=tc.beta1, b2=tc.beta2, eps=tc.eps)
     steps += [
         optax.clip_by_global_norm(tc.max_grad_norm),

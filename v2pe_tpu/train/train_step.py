@@ -67,18 +67,16 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation,
     ShardingContext is active during tracing so attention routes through
     shard_map (ring over 'seq' when sized).
 
-    ``offload_optimizer=True`` keeps the optimizer state resident in HOST
-    memory (pinned_host memory kind) and stages it through HBM only for
-    the update — the ZeRO-Offload idea, TPU-native. The point is peak
-    SEPARATION, not just capacity: the backward's peak (params + grads +
-    activations/residuals) and the update's peak (params + grads +
-    moments) each fit a 16 GB chip where their union does not — this is
-    what fits the 32k-recipe train step on ONE v5e (measured: resident
-    moments put the step 2.6-4.2 GB over HBM; offloaded it runs —
-    docs/perf_analysis.md training section). The h2d moment fetch has no
-    data dependency on the backward, so XLA can overlap it; the d2h
-    writeback trails the update. Initialize/carry opt_state with
-    :func:`host_opt_state`.
+    ``offload_optimizer=True`` declares that ``tx`` was built with
+    ``TrainConfig(use_8bit_optimizer=True, offload_optimizer=True)``: the
+    int8 Adam moments live in HOST memory and stage through HBM one leaf
+    at a time during the update (adam8bit.scale_by_adam8bit(offload=True)
+    — the ZeRO-Offload idea, TPU-native). The point is peak SEPARATION:
+    the backward's peak (params + grads + activations/residuals) and the
+    update's peak (params + grads + one staged leaf) each fit a 16 GB
+    chip where their union does not — what fits the 32k-recipe step on
+    ONE v5e (resident moments measured 2.6-4.2 GB over HBM;
+    docs/perf_analysis.md training section).
 
     With ``lora=True`` the step is
     step(lora_tree, opt_state, batch, base_params) -> (lora_tree, ...):
@@ -88,26 +86,17 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation,
     state is rank-sized, which is the point of LoRA (reference:
     wrap_backbone_lora/wrap_llm_lora, modeling_internvl_chat.py:142-163)."""
     if offload_optimizer:
+        # the actual staging lives INSIDE the int8 Adam transformation
+        # (adam8bit.scale_by_adam8bit(offload=True)): moments are fetched
+        # from host memory one leaf at a time, barrier-chained, which
+        # bounds their HBM residency at ~one stacked leaf. A tree-level
+        # host-staging wrapper here was tried first and rejected: XLA's
+        # scheduler staged the whole state (plus layout-reshape copies)
+        # concurrently, costing +0.5-9 GB of transient HBM depending on
+        # the build. The flag is kept for API clarity/validation — the tx
+        # passed in must have been built with
+        # TrainConfig(offload_optimizer=True).
         assert not lora, "LoRA state is rank-sized; offload is pointless"
-        inner_tx = tx
-
-        def _to(space):
-            # jax.memory.Space keeps each leaf's sharding, changing only
-            # the memory space — works single-device and under a mesh
-            def put(tree):
-                return jax.tree.map(
-                    lambda a: jax.device_put(a, space), tree)
-
-            return put
-
-        class _OffloadTx:
-            def update(self, grads, opt_state_host, params):
-                opt_state = _to(jax.memory.Space.Device)(opt_state_host)
-                updates, opt_state = inner_tx.update(grads, opt_state,
-                                                     params)
-                return updates, _to(jax.memory.Space.Host)(opt_state)
-
-        tx = _OffloadTx()
 
     if lora:
         from v2pe_tpu.models.lora import merge_lora
@@ -156,8 +145,11 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation,
 
 
 def host_opt_state(opt_state):
-    """Move an optimizer state to pinned host memory (the resident home
-    of the state under ``offload_optimizer=True``)."""
+    """Move an optimizer state's int8 moment tensors to host memory.
+
+    Only needed when restoring a checkpointed state for an offloaded run —
+    ``scale_by_adam8bit(offload=True).init`` already returns host-resident
+    moments."""
     return jax.tree.map(
         lambda a: jax.device_put(a, jax.memory.Space.Host), opt_state)
 

@@ -111,6 +111,11 @@ def train(
         mesh_cfg.num_devices > 1 else None
     seq_shards = mesh_cfg.seq if mesh_cfg else 1
 
+    if offload_optimizer:
+        import dataclasses as _dc
+
+        tc = _dc.replace(tc, use_8bit_optimizer=True,
+                         offload_optimizer=True)
     lora_mode = bool(use_backbone_lora or use_llm_lora)
     if lora_mode:
         from v2pe_tpu.models.lora import build_lora, merge_lora
@@ -128,10 +133,6 @@ def train(
         trainable = params if not lora_mode else shard_params(trainable,
                                                               mesh)
     opt_state = init_opt_state(tx, trainable, mesh)
-    if offload_optimizer:
-        from v2pe_tpu.train.train_step import host_opt_state
-
-        opt_state = host_opt_state(opt_state)
     step_fn = make_train_step(cfg, tx, mesh, img_context_token_id,
                               attn_impl=attn_impl, remat=remat,
                               pipe_microbatches=pipe_microbatches,
