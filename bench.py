@@ -698,11 +698,16 @@ class _BenchChatModel:
 
 
 def _engine_bench(jax, jnp, cfg, params, n_reqs: int = 8,
-                  ctx_len: int = 8192, max_new: int = 256):
+                  ctx_len: int = 8192, max_new: int = 256,
+                  speculative_k: int = 0, spec_min_accept: float = 1.5):
     """Continuous-batching serving throughput: n_reqs ctx_len-token prompts
     admitted through chunked prefill into the shared page pool, decoded in
     batched blocks until every request completes (serve/engine.py). Run
     twice, second run timed (first pays the chunk/decode-block compiles).
+    With ``speculative_k`` the engine drafts via prompt lookup; random
+    prompts are the worst case (acceptance ~1/forward), which is exactly
+    what the adaptive off-switch (``spec_min_accept``) exists for — pass
+    spec_min_accept=0 to FORCE drafting and measure the un-adaptive cost.
     Returns (total_tok_s incl. prefill, generated_tok_s, generated)."""
     import numpy as np
 
@@ -711,11 +716,14 @@ def _engine_bench(jax, jnp, cfg, params, n_reqs: int = 8,
 
     gcfg = GenerationConfig(
         max_new_tokens=max_new,
+        speculative_k=speculative_k, speculative_ngram=3,
         eos_token_ids=(cfg.llm.vocab_size - 1,))  # early stops are counted
     eng = InferenceEngine(
         _BenchChatModel(params, cfg), max_rows=n_reqs,
         max_len=ctx_len + max_new + 16, page_size=512, chunk_size=2048,
-        decode_block=64, generation_config=gcfg, prefix_caching=False)
+        decode_block=8 if speculative_k else 64,
+        generation_config=gcfg, prefix_caching=False,
+        spec_min_accept=spec_min_accept)
     rng = np.random.RandomState(0)
 
     def run():
@@ -971,6 +979,27 @@ def main():
         ex["spec_accept_per_forward_32k"] = round(accept, 2)
 
     em.run("spec", 240, spec)
+
+    def spec_adaptive():
+        # the adaptive off-switch at work (serve/engine.py, round 5):
+        # random prompts are prompt-lookup's worst case (accept ~1/fwd;
+        # random-weight greedy output never repeats — measured tail
+        # period 0 over 92k vocab). FORCED drafting pays the (K+1)-token
+        # verify for ~1 token; ADAPTIVE suspends after the probe block
+        # and must track the plain engine's throughput.
+        tot_f, _, _ = _engine_bench(jax, jnp, cfg, params, n_reqs=4,
+                                    max_new=128, speculative_k=7,
+                                    spec_min_accept=0.0)
+        ex["engine_tok_s_4x8k_spec_forced"] = round(tot_f, 1)
+        em.emit()
+        tot_a, _, _ = _engine_bench(jax, jnp, cfg, params, n_reqs=4,
+                                    max_new=128, speculative_k=7)
+        ex["engine_tok_s_4x8k_spec_adaptive"] = round(tot_a, 1)
+        tot_p, _, _ = _engine_bench(jax, jnp, cfg, params, n_reqs=4,
+                                    max_new=128)
+        ex["engine_tok_s_4x8k_plain"] = round(tot_p, 1)
+
+    em.run("spec_adaptive", 240, spec_adaptive)
 
     def turn():
         ex["turn_prefill_ms_2k_over_32k"] = round(

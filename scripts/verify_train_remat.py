@@ -61,19 +61,13 @@ def main():
     dp("train_tok_s_8k_8tiles_attn_saved",
        lambda: bench._train_bench(jax, jnp, cfg, fresh(),
                                   remat="attn_saved"))
-    # the 32k recipe step: 32 tiles ~= the packed-sample image budget at
-    # this length. Resident-optimizer measurements put every policy
-    # 2.6-4.2 GB over HBM (params+grads+moments = 13.4 GB static), so the
-    # 32k step runs with the HOST-OFFLOADED optimizer state
-    # (make_train_step(offload_optimizer=True)) — fall through the remat
-    # ladder until one fits
-    for policy in ("block4", "block2", "full"):
-        key = f"train_tok_s_32k_32tiles_{policy}_offload"
-        dp(key, lambda p=policy: bench._train_bench(
-            jax, jnp, cfg, fresh(), seq_len=32768, tiles=32, remat=p,
-            offload_optimizer=True))
-        if key in out:
-            break
+    # the 32k recipe's gradient computation (fwd+bwd, full remat): the
+    # FULL step's params+grads+moments static set (13.4 GB) misses one
+    # 16 GB chip in every measured configuration incl. host-offloaded
+    # moments — see docs/perf_analysis.md (training section) for the
+    # campaign table; the recipe's own regime is optimizer-sharded
+    dp("train_fwdbwd_tok_s_32k_32tiles",
+       lambda: bench._train_fwdbwd_bench(jax, jnp, cfg, fresh()))
 
 
 if __name__ == "__main__":

@@ -652,7 +652,13 @@ class InferenceEngine:
         if self._active.any():
             if self._spec and self._spec_suspended_for > 0:
                 self._spec_suspended_for -= 1
-                self._run_decode_block()
+                # suspended plain blocks run at a LARGER k than the spec
+                # block's iteration count: a spec engine picks a small
+                # decode_block (each iteration can emit up to K+1 tokens)
+                # and inheriting it for plain decode would pay ~8x the
+                # host/dispatch overhead per token (measured: adaptive
+                # recovered only half the plain engine's rate before this)
+                self._run_decode_block(k=min(64, self.decode_block * 8))
                 if self._spec_suspended_for == 0:
                     # forget the stale estimate before the re-probe block
                     self._spec_accept_ema = None
@@ -865,13 +871,13 @@ class InferenceEngine:
         req.token_queue.put(None)
         req.finished.set()
 
-    def _run_decode_block(self) -> None:
+    def _run_decode_block(self, k: Optional[int] = None) -> None:
         llm = self.m.params["llm"]
         self._rng, sub = jax.random.split(self._rng)
         self.cache, tok, pos, active, rem, emitted = _decode_block(
             llm, self.cache, jnp.asarray(self._tok), jnp.asarray(self._pos),
             jnp.asarray(self._active), jnp.asarray(self._rem), sub,
-            cfg=self.cfg.llm, gc=self.gc, k=self.decode_block,
+            cfg=self.cfg.llm, gc=self.gc, k=k or self.decode_block,
             attn_impl=self.attn_impl, ctx=self.ctx)
         emitted = np.asarray(emitted)
         if self._spec:
